@@ -1,0 +1,151 @@
+"""GCA-style ResNet-D encoders with shortcut branches and instance-mask ID embedding.
+
+Rebuilds reference ``maggie/network/encoder/resnet.py``:
+- ``ResNetD`` — 3-conv stem + BasicBlock stages [3,4,4,2] with SpectralNorm on every
+  conv (``resnet.py:42-153``);
+- ``ResShortCutD`` — adds 5 shortcut conv branches producing os1..os16 skip features
+  (``resnet.py:155-200``);
+- ``ResMaskEmbedShortCutD`` — MaGGIe's encoder: instance masks -> ID embedding table,
+  masked-mean over instances -> ``num_embed`` channels concatenated to RGB
+  (``resnet.py:202-229``).
+
+All tensors NHWC. Outputs: (os32 embedding NHWC, mid_fea dict with 'shortcut' tuple,
+'image' and 'backbone_feat').
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import BatchNorm, ResLayerEnc, SNConv
+from ..ops.resize import resize_bilinear_nhwc
+
+
+class ShortcutBlock(nn.Module):
+    """SNConv3x3 -> ReLU -> BN -> SNConv3x3 -> ReLU -> BN (reference ``resnet.py:167-175``,
+    note the unusual ReLU-before-BN ordering)."""
+
+    planes: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False, update_sn: bool = False) -> jax.Array:
+        x = SNConv(self.planes, (3, 3), (1, 1), (1, 1), name="conv0")(x, update_sn)
+        x = nn.relu(x)
+        x = BatchNorm(name="bn0")(x, train)
+        x = SNConv(self.planes, (3, 3), (1, 1), (1, 1), name="conv1")(x, update_sn)
+        x = nn.relu(x)
+        x = BatchNorm(name="bn1")(x, train)
+        return x
+
+
+class ResNetD(nn.Module):
+    """Plain backbone variant (reference ``res_encoder_29``): returns pyramid dict."""
+
+    layers: tuple[int, ...] = (3, 4, 4, 2)
+    mask_channel: int = 0
+    late_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False, update_sn: bool = False) -> dict:
+        midplanes = 64 if self.late_downsample else 32
+        s = [1, 2, 1, 2] if self.late_downsample else [2, 1, 2, 1]
+        out = {}
+        x = SNConv(32, (3, 3), (s[0], s[0]), (1, 1), name="conv1")(x, update_sn)
+        x = BatchNorm(name="bn1")(x, train)
+        x0 = nn.relu(x)
+        out["os1"] = resize_bilinear_nhwc(x0, (x0.shape[1] * 2, x0.shape[2] * 2), align_corners=True)
+        x = SNConv(midplanes, (3, 3), (s[1], s[1]), (1, 1), name="conv2")(x0, update_sn)
+        x = BatchNorm(name="bn2")(x, train)
+        x1 = nn.relu(x)
+        out["os2"] = x1
+        x = SNConv(64, (3, 3), (s[2], s[2]), (1, 1), name="conv3")(x1, update_sn)
+        x = BatchNorm(name="bn3")(x, train)
+        x2 = nn.relu(x)
+        x3 = ResLayerEnc(64, self.layers[0], s[3], name="layer1")(x2, train, update_sn)
+        out["os4"] = x3
+        x4 = ResLayerEnc(128, self.layers[1], 2, name="layer2")(x3, train, update_sn)
+        out["os8"] = x4
+        x5 = ResLayerEnc(256, self.layers[2], 2, name="layer3")(x4, train, update_sn)
+        out["os16"] = x5
+        x6 = ResLayerEnc(512, self.layers[3], 2, name="layer_bottleneck")(x5, train, update_sn)
+        out["os32"] = x6
+        return out
+
+
+class ResShortCutD(nn.Module):
+    """Encoder with shortcut branches (reference ``ResShortCut_D.forward``,
+    ``resnet.py:177-200``). Input NHWC with 3+num_mask channels."""
+
+    layers: tuple[int, ...] = (3, 4, 4, 2)
+    num_mask: int = 1
+    late_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False, update_sn: bool = False):
+        midplanes = 64 if self.late_downsample else 32
+        s = [1, 2, 1, 2] if self.late_downsample else [2, 1, 2, 1]
+        inp = x
+        out = SNConv(32, (3, 3), (s[0], s[0]), (1, 1), name="conv1")(x, update_sn)
+        out = BatchNorm(name="bn1")(out, train)
+        out = nn.relu(out)
+        out = SNConv(midplanes, (3, 3), (s[1], s[1]), (1, 1), name="conv2")(out, update_sn)
+        out = BatchNorm(name="bn2")(out, train)
+        x1 = nn.relu(out)
+        out = SNConv(64, (3, 3), (s[2], s[2]), (1, 1), name="conv3")(x1, update_sn)
+        out = BatchNorm(name="bn3")(out, train)
+        out = nn.relu(out)
+
+        x2 = ResLayerEnc(64, self.layers[0], s[3], name="layer1")(out, train, update_sn)
+        x3 = ResLayerEnc(128, self.layers[1], 2, name="layer2")(x2, train, update_sn)
+        x4 = ResLayerEnc(256, self.layers[2], 2, name="layer3")(x3, train, update_sn)
+        out = ResLayerEnc(512, self.layers[3], 2, name="layer_bottleneck")(x4, train, update_sn)
+
+        fea1 = ShortcutBlock(32, name="shortcut_0")(inp, train, update_sn)
+        fea2 = ShortcutBlock(midplanes, name="shortcut_1")(x1, train, update_sn)
+        fea3 = ShortcutBlock(64, name="shortcut_2")(x2, train, update_sn)
+        fea4 = ShortcutBlock(128, name="shortcut_3")(x3, train, update_sn)
+        fea5 = ShortcutBlock(256, name="shortcut_4")(x4, train, update_sn)
+
+        mid_fea = {
+            "shortcut": (fea1, fea2, fea3, fea4, fea5),
+            "image": inp[..., :3],
+            "backbone_feat": (x2, x3, x4, out),
+        }
+        return out, mid_fea
+
+
+class ResMaskEmbedShortCutD(nn.Module):
+    """MaGGIe encoder (reference ``ResMaskEmbedShortCut_D``, ``resnet.py:202-229``).
+
+    Input x: NHWC with channels [RGB | num_mask binary instance masks]. The masks are
+    painted with instance IDs, embedded via a (num_mask+1, num_embed) table, and the
+    masked mean over instances is concatenated to RGB.
+    """
+
+    layers: tuple[int, ...] = (3, 4, 4, 2)
+    num_mask: int = 10
+    num_embed: int = 3
+    late_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False, update_sn: bool = False):
+        inp = x[..., :3]
+        if self.num_embed > 0:
+            masks = x[..., 3:]  # (N, H, W, n_m)
+            n_m = masks.shape[-1]
+            table = nn.Embed(self.num_mask + 1, self.num_embed,
+                             embedding_init=nn.initializers.xavier_uniform(),
+                             name="mask_embed_layer")
+            mask_ids = jnp.arange(1, n_m + 1)[None, None, None, :]
+            ids = (masks * mask_ids).astype(jnp.int32)  # (N, H, W, n_m)
+            emb = table(ids)  # (N, H, W, n_m, num_embed)
+            valid = (ids > 0).astype(jnp.float32)[..., None]
+            emb = (emb * valid).sum(axis=3) / (valid.sum(axis=3) + 1e-6)  # (N, H, W, num_embed)
+            inp = jnp.concatenate([inp, emb.astype(inp.dtype)], axis=-1)
+        return ResShortCutD(self.layers, num_mask=self.num_embed,
+                            late_downsample=self.late_downsample, name="backbone")(inp, train, update_sn)
+
+
+ENCODER_OUT_CHANNELS = {"os1": 32, "os2": 32, "os4": 64, "os8": 128, "os16": 256, "os32": 512}

@@ -1,0 +1,172 @@
+"""Torch-parity resize ops, implemented as MXU-friendly matmuls.
+
+The reference mixes ``F.interpolate`` bilinear with both ``align_corners=True``
+(encoder os1 upsample, reference ``maggie/network/encoder/resnet.py:136``) and
+``align_corners=False`` (decoder os8 upsample, ``decoder/resnet_inst_matt_spconv.py:303``;
+postprocessing ``utils/postprocessing.py:59``), plus legacy ``nearest``
+(``arch/maggie.py:178``). To stay within the 1e-3 MAD parity budget each variant is
+reproduced exactly.
+
+Instead of gathers, 2D interpolation is expressed as two dense matmuls
+``W_h @ x @ W_w^T`` with precomputed (static-shape, compile-time constant)
+interpolation matrices — this rides the MXU and fuses well under XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=256)
+def _linear_weight_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """(out_size, in_size) row-stochastic linear interpolation matrix (torch semantics)."""
+    if out_size == in_size:
+        return np.eye(out_size, dtype=np.float32)
+    dst = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        src = dst * scale
+    else:
+        scale = in_size / out_size
+        src = (dst + 0.5) * scale - 0.5
+        src = np.maximum(src, 0.0)  # torch clamps the source index at 0
+    x0 = np.floor(src).astype(np.int64)
+    x0 = np.minimum(x0, in_size - 1)
+    x1 = np.minimum(x0 + 1, in_size - 1)
+    lam = (src - x0).astype(np.float32)
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    np.add.at(w, (rows, x0), 1.0 - lam)
+    np.add.at(w, (rows, x1), lam)
+    return w
+
+
+@functools.lru_cache(maxsize=256)
+def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
+    """Torch legacy 'nearest' index map: src = floor(dst * in/out)."""
+    dst = np.arange(out_size, dtype=np.float64)
+    idx = np.floor(dst * (in_size / out_size)).astype(np.int64)
+    return np.minimum(idx, in_size - 1)
+
+
+def resize_bilinear(x: jax.Array, size: tuple[int, int], align_corners: bool = False) -> jax.Array:
+    """Bilinear resize of the last two dims, matching ``F.interpolate(mode='bilinear')``."""
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    h_out, w_out = size
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    dtype = x.dtype
+    wh = jnp.asarray(_linear_weight_matrix(h_in, h_out, align_corners))
+    ww = jnp.asarray(_linear_weight_matrix(w_in, w_out, align_corners))
+    lead = x.shape[:-2]
+    y = x.reshape((-1, h_in, w_in)).astype(jnp.float32)
+    # (B, h_out, w_in) <- (h_out, h_in) @ (B, h_in, w_in)
+    y = jnp.einsum("oh,bhw->bow", wh, y, preferred_element_type=jnp.float32, precision="highest")
+    y = jnp.einsum("bow,pw->bop", y, ww, preferred_element_type=jnp.float32, precision="highest")
+    return y.reshape(lead + (h_out, w_out)).astype(dtype)
+
+
+def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """Nearest resize of the last two dims, matching torch legacy ``mode='nearest'``."""
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    h_out, w_out = size
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    hi = jnp.asarray(_nearest_index(h_in, h_out))
+    wi = jnp.asarray(_nearest_index(w_in, w_out))
+    y = jnp.take(x, hi, axis=-2)
+    y = jnp.take(y, wi, axis=-1)
+    return y
+
+
+def max_pool2d(x: jax.Array, kernel: int, stride: int | None = None) -> jax.Array:
+    """Max pool over the last two dims (VALID padding), torch ``F.max_pool2d`` semantics."""
+    stride = stride or kernel
+    lead = x.shape[:-2]
+    y = x.reshape((-1, x.shape[-2], x.shape[-1], 1))
+    init = -jnp.inf if jnp.issubdtype(y.dtype, jnp.floating) else jnp.iinfo(y.dtype).min
+    y = jax.lax.reduce_window(
+        y, init, jax.lax.max,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+    return y.reshape(lead + y.shape[1:3])
+
+
+def avg_pool2d(x: jax.Array, kernel: int, stride: int | None = None) -> jax.Array:
+    """Average pool over the last two dims (VALID padding)."""
+    stride = stride or kernel
+    lead = x.shape[:-2]
+    y = x.reshape((-1, x.shape[-2], x.shape[-1], 1)).astype(jnp.float32)
+    y = jax.lax.reduce_window(
+        y, 0.0, jax.lax.add,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    ) / float(kernel * kernel)
+    return y.reshape(lead + y.shape[1:3]).astype(x.dtype)
+
+
+def resize_any_shape(
+    x: jax.Array,
+    scale_factor: float | None = None,
+    size: tuple[int, int] | None = None,
+    mode: str = "bilinear",
+    align_corners: bool = False,
+    use_max_pool: bool = False,
+    use_avg_pool_binary: bool = False,
+) -> jax.Array:
+    """Rank-agnostic resize over the last two dims.
+
+    Mirrors reference ``maggie/utils/utils.py:7-25`` (``resizeAnyShape``): the
+    ``use_max_pool`` path is a binary-preserving downsample, ``use_avg_pool_binary``
+    average-pools then thresholds at 0.
+    """
+    dtype = x.dtype
+    if use_max_pool:
+        assert scale_factor is not None and scale_factor < 1.0
+        stride = int(round(1.0 / scale_factor))
+        return max_pool2d(x.astype(jnp.float32), stride).astype(dtype)
+    if use_avg_pool_binary:
+        assert scale_factor is not None and scale_factor < 1.0
+        stride = int(round(1.0 / scale_factor))
+        y = avg_pool2d(x.astype(jnp.float32), stride)
+        return (y > 0.0).astype(dtype)
+    if size is None:
+        assert scale_factor is not None
+        size = (int(x.shape[-2] * scale_factor), int(x.shape[-1] * scale_factor))
+    if mode == "bilinear":
+        return resize_bilinear(x.astype(jnp.float32), size, align_corners).astype(dtype)
+    if mode == "nearest":
+        return resize_nearest(x, size)
+    raise ValueError(f"Unsupported mode {mode}")
+
+
+def resize_bilinear_nhwc(x: jax.Array, size: tuple[int, int], align_corners: bool = False) -> jax.Array:
+    """Bilinear resize for NHWC feature tensors (spatial dims 1 and 2)."""
+    n, h_in, w_in, c = x.shape
+    h_out, w_out = size
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    dtype = x.dtype
+    wh = jnp.asarray(_linear_weight_matrix(h_in, h_out, align_corners))
+    ww = jnp.asarray(_linear_weight_matrix(w_in, w_out, align_corners))
+    y = x.astype(jnp.float32)
+    y = jnp.einsum("oh,nhwc->nowc", wh, y, preferred_element_type=jnp.float32, precision="highest")
+    y = jnp.einsum("pw,nowc->nopc", ww, y, preferred_element_type=jnp.float32, precision="highest")
+    return y.astype(dtype)
+
+
+def resize_nearest_nhwc(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    n, h_in, w_in, c = x.shape
+    h_out, w_out = size
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    hi = jnp.asarray(_nearest_index(h_in, h_out))
+    wi = jnp.asarray(_nearest_index(w_in, w_out))
+    return jnp.take(jnp.take(x, hi, axis=1), wi, axis=2)
