@@ -62,6 +62,12 @@ class TorchMHA(nn.Module):
         if key_padding_mask is not None:
             logits = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, logits)
         attn = jax.nn.softmax(logits, axis=-1)
+        if attn_mask is not None or key_padding_mask is not None:
+            # rows with every key masked: torch yields NaN (and the reference's engine
+            # skips empty-mask samples, ``engine/test.py:125``); emit zeros instead so
+            # padded instances stay finite — identical result on any valid row
+            all_masked = jnp.all(logits == NEG_INF, axis=-1, keepdims=True)
+            attn = jnp.where(all_masked, 0.0, attn)
         out = jnp.einsum("bhls,bhsd->bhld", attn.astype(v.dtype), v)
         out = out.transpose(2, 0, 1, 3).reshape(L, B, e)
         out_w = self.param("out_proj_weight", nn.initializers.xavier_uniform(), (e, e))
