@@ -1,0 +1,69 @@
+"""Benchmark: MaGGIe image eval forward throughput on the local chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Condition mirrors the reference's eval setup (BASELINE.md): short side 576 padded to
+x64 (576x1024 here), batch 1, multi-instance (3). The reference publishes no
+throughput numbers (SURVEY.md §6), so vs_baseline is reported against a recorded
+torch-reference estimate when available, else 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache: tunnel compiles cost 40s+ per shape
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from maggie_tpu.models import build_model
+    from __graft_entry__ import _image_model_cfg, _make_batch
+
+    cfg = _image_model_cfg()
+    model = build_model(cfg.model)
+
+    h, w, n_i = 576, 1024, 3
+    batch = _make_batch(1, 1, n_i, h, w, seed=0)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+
+    # NOTE: on the tunneled axon platform block_until_ready does NOT block; force a
+    # host materialization of a scalar to sync, and chain iterations through a data
+    # dependency so the device cannot overlap them away.
+    def fwd_chained(v, b, carry):
+        bb = dict(b)
+        bb["image"] = b["image"] + carry * 0.0
+        out = model.apply(v, bb, train=False)["refined_masks"]
+        return jnp.sum(out)
+
+    fwd = jax.jit(fwd_chained)
+    carry = jnp.float32(0.0)
+    carry = fwd(variables, batch, carry)
+    float(carry)  # compile + warmup + sync
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        carry = fwd(variables, batch, carry)
+    float(carry)  # sync: scalar D2H
+    dt = time.perf_counter() - t0
+
+    frames = iters * 1 * 1  # b * n_f per step
+    fps = frames / dt
+    print(json.dumps({
+        "metric": "maggie_image_eval_576p_3inst_frames_per_sec_per_chip",
+        "value": round(fps, 4),
+        "unit": "frames/sec/chip",
+        "vs_baseline": 1.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,302 @@
+"""Evaluation engine (reference ``maggie/engine/test.py``).
+
+- ``eval_image``: per-batch jitted forward -> reverse transform -> clamp 1/255,
+  254/255 -> optional largest-CC postprocess -> metric updates (``test.py:99-165``);
+- ``eval_video``: stateful streaming over overlapping clips, carrying ConvGRU
+  memory and the previous fused alpha between windows, with the reference's exact
+  rolling-window metric bookkeeping (``test.py:169-296``);
+- ``test``: dataset/model/metric assembly and final cross-process gather
+  (``test.py:299-371``).
+
+TPU notes: the model forward is jitted per (H, W, n_i) shape; the persistent
+compilation cache amortizes recompiles across runs. Alpha thresholding and the
+reverse transform run host-side on numpy exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import copy
+import logging
+import os
+import time
+from functools import partial
+
+import numpy as np
+
+from ..data import build_dataset
+from ..data.loader import DataLoader
+from ..utils.meters import AverageMeter
+from ..utils.metrics import build_metric
+from ..utils.postprocess import postprocess, reverse_transform
+
+logger = logging.getLogger(__name__)
+
+
+def save_visualization(image_names, alpha_names, alphas, transform_info, output, save_dir):
+    """Write per-instance alpha PNGs (reference ``test.py:21-68``)."""
+    import cv2
+    for idx in range(len(image_names)):
+        image_name = image_names[idx][0] if isinstance(image_names[idx], (list, tuple)) else image_names[idx]
+        video_name, image_name = image_name.split("/")[-2:]
+        out_dir = os.path.join(save_dir, video_name)
+        os.makedirs(out_dir, exist_ok=True)
+        alpha_pred = (alphas[0, idx] * 255).astype("uint8")
+        for inst_id in range(alpha_pred.shape[0]):
+            target = os.path.join(out_dir, image_name[:-4])
+            if alpha_names is not None:
+                target = os.path.join(target, alpha_names[inst_id][0]
+                                      if isinstance(alpha_names[inst_id], (list, tuple))
+                                      else alpha_names[inst_id])
+            elif alpha_pred.shape[0] > 1:
+                target = os.path.join(target, "{:02d}.png".format(inst_id))
+            else:
+                target = target + ".png"
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            cv2.imwrite(target, alpha_pred[inst_id])
+
+
+def compute_metrics(all_preds, all_trimap, all_gts, val_error_dict,
+                    prev_preds=None, prev_trimap=None, prev_gts=None):
+    """Reference ``test.py:70-96``."""
+    current = {}
+    for k, v in val_error_dict.items():
+        cur_preds, cur_gts = all_preds, all_gts
+        if k in ("dtSSD", "MESSDdt"):
+            if prev_preds is None:
+                continue
+            cur_preds = np.concatenate([prev_preds, all_preds], axis=0)
+            cur_gts = np.concatenate([prev_gts, all_gts], axis=0)
+        # reference: only the MAD region variants receive a trimap; every other
+        # metric runs with trimap=None, i.e. a ones mask (test.py:86-93)
+        cur_trimap = all_trimap if k.endswith(("_fg", "_bg", "_unk")) else None
+        current[k] = v.update(cur_preds, cur_gts, trimap=cur_trimap)
+    return current
+
+
+def _make_forward(model, variables):
+    import jax
+
+    @partial(jax.jit, static_argnames=())
+    def fwd(batch):
+        return model.apply(variables, batch, train=False)
+
+    return fwd
+
+
+def _device_batch(batch: dict) -> dict:
+    import jax.numpy as jnp
+    keep = {"image", "mask", "alpha", "transition", "fg", "bg"}
+    return {k: jnp.asarray(v) for k, v in batch.items() if k in keep}
+
+
+def eval_image(model, variables, val_loader, log_iter, val_error_dict,
+               do_postprocessing=False, callback=None, **kwargs):
+    """Reference ``eval_image`` (test.py:99-165)."""
+    batch_time = AverageMeter("batch_time")
+    data_time = AverageMeter("data_time")
+    fwd = _make_forward(model, variables)
+    end_time = time.time()
+
+    for i, batch in enumerate(val_loader):
+        data_time.update(time.time() - end_time)
+        image_names = batch.pop("image_names")
+        alpha_names = batch.pop("alpha_names", None)
+        transform_info = batch.pop("transform_info")
+        trimap = np.asarray(batch.pop("trimap"))
+        alpha_gt = np.asarray(batch.pop("alpha"))
+        skip = int(np.asarray(batch.pop("skip"))[0])
+
+        if batch["mask"].sum() == 0:
+            continue
+        dbatch = _device_batch(batch)
+
+        end_time = time.time()
+        output = fwd(dbatch)
+        alpha = np.asarray(output["refined_masks"])  # forces sync on tunneled TPU
+        batch_time.update(time.time() - end_time)
+
+        ti = transform_info[0] if isinstance(transform_info, list) else transform_info
+        alpha = reverse_transform(alpha, ti)
+        alpha[alpha <= 1.0 / 255.0] = 0.0
+        alpha[alpha >= 254.0 / 255.0] = 1.0
+        if do_postprocessing:
+            alpha = postprocess(alpha)
+
+        current = compute_metrics(alpha[:, skip:], trimap[:, skip:], alpha_gt[:, skip:], val_error_dict)
+
+        if i % log_iter == 0:
+            s = f"Validation: Iter {i}/{len(val_loader)}: "
+            s += ", ".join(f"{k} - {v:.4f}" for k, v in current.items())
+            s += f", batch_time: {batch_time.avg:.4f}, data_time: {data_time.avg:.4f}"
+            logger.info(s)
+        if callback:
+            callback(image_names, alpha_names, alpha, ti, output)
+        end_time = time.time()
+
+    return batch_time.avg, data_time.avg
+
+
+def eval_video(model, variables, val_loader, log_iter, val_error_dict,
+               do_postprocessing=False, callback=None, **kwargs):
+    """Reference ``eval_video`` (test.py:169-296): overlapping 3-frame clips with
+    carried (mem_feat, prev_pred) state and rolling metric windows."""
+    import jax.numpy as jnp
+
+    batch_time = AverageMeter("batch_time")
+    data_time = AverageMeter("data_time")
+    end_time = time.time()
+
+    all_preds = all_gts = all_trimap = None
+    all_image_names = []
+    mem_feats = None
+    prev_pred = None
+    prev_preds = None
+
+    import jax
+
+    @jax.jit
+    def fwd(batch, mem_feat, prev_pred):
+        return model.apply(variables, batch, train=False,
+                           mem_feat=mem_feat, prev_pred=prev_pred)
+
+    for i, batch in enumerate(val_loader):
+        data_time.update(time.time() - end_time)
+        image_names = batch.pop("image_names")
+        batch.pop("alpha_names", None)
+        transform_info = batch.pop("transform_info")
+        trimap = np.asarray(batch.pop("trimap"))
+        alpha_gt = np.asarray(batch.pop("alpha"))
+        is_first = bool(np.asarray(batch.pop("is_first"))[0])
+        is_last = bool(np.asarray(batch.pop("is_last"))[0])
+        batch.pop("skip", None)
+
+        if is_first:
+            all_preds = all_gts = all_trimap = None
+            all_image_names = []
+            mem_feats = None
+            prev_pred = None
+
+        video_name = image_names[0][0].split("/")[-2]
+        if batch["mask"].sum() == 0:
+            continue
+        dbatch = _device_batch(batch)
+
+        end_time = time.time()
+        output = fwd(dbatch, mem_feats, prev_pred)
+        alpha_dev = output["refined_masks"]
+        prev_pred = alpha_dev[:, 1]
+        alpha = np.asarray(alpha_dev)
+        batch_time.update(time.time() - end_time)
+
+        ti = transform_info[0] if isinstance(transform_info, list) else transform_info
+        alpha = reverse_transform(alpha, ti)
+        alpha[alpha <= 1.0 / 255.0] = 0.0
+        alpha[alpha >= 254.0 / 255.0] = 1.0
+        if do_postprocessing:
+            alpha = postprocess(alpha)
+
+        if is_first or all_preds is None:
+            all_preds = alpha[0]
+            all_gts = alpha_gt[0]
+            all_trimap = trimap[0]
+            all_image_names = list(image_names)
+        else:
+            all_gts = np.concatenate([all_gts, alpha_gt[0, 2:]], axis=0)
+            all_trimap = np.concatenate([all_trimap, trimap[0, 2:]], axis=0)
+            all_image_names += list(image_names[2:])
+            all_preds = np.concatenate([all_preds[:-1], alpha[0, 1:]], axis=0)
+
+        if mem_feats is None and "mem_feat" in output:
+            mf = output["mem_feat"]
+            if isinstance(mf, tuple):
+                mem_feats = tuple(x[:, 0] for x in mf)
+            else:
+                mem_feats = mf
+
+        if callback is not None:
+            end_idx = 1 if not is_last else len(all_preds)
+            callback(all_image_names[:end_idx], None, all_preds[None, :end_idx], ti, {})
+
+        # rolling metric windows, replicating the reference's indexing
+        # (test.py:262-274), including its use of the previous iteration's
+        # ``prev_preds`` length for the last window
+        end_pred_idx = -3 if not is_last else (len(prev_preds) if prev_preds is not None else 0)
+        if len(all_preds) > 3:
+            prev_preds = all_preds[-4:end_pred_idx]
+            prev_trimaps = all_trimap[-4:end_pred_idx]
+            prev_gts = all_gts[-4:end_pred_idx]
+        else:
+            prev_preds = prev_trimaps = prev_gts = None
+
+        end_all_idx = -2 if not is_last else len(all_preds)
+        current = compute_metrics(all_preds[-3:end_all_idx], all_trimap[-3:end_all_idx],
+                                  all_gts[-3:end_all_idx], val_error_dict,
+                                  prev_preds, prev_trimaps, prev_gts)
+        logger.info(f"{video_name}: " + ", ".join(f"{k} - {v:.4f}" for k, v in current.items()))
+
+        if len(all_preds) > 3:
+            all_preds = all_preds[-3:]
+            all_gts = all_gts[-3:]
+            all_trimap = all_trimap[-3:]
+            all_image_names = all_image_names[-3:]
+
+        if i % log_iter == 0:
+            logger.info(f"Validation: Iter {i}/{len(val_loader)}: "
+                        f"batch_time: {batch_time.avg:.4f}, data_time: {data_time.avg:.4f}")
+        end_time = time.time()
+
+    return batch_time.avg, data_time.avg
+
+
+def test(cfg, variables=None):
+    """Reference ``test`` (test.py:299-371). Returns the metric dict."""
+    import jax
+
+    from ..models import build_model
+    from ..utils.checkpoint import load_model_weights
+
+    logger.info("Creating testing dataset...")
+    val_dataset = build_dataset(cfg, is_train=False)
+    nproc, pid = jax.process_count(), jax.process_index()
+    val_loader = DataLoader(val_dataset, batch_size=cfg.test.batch_size,
+                            shuffle=False, num_shards=nproc, shard_index=pid)
+
+    logger.info("Building model...")
+    model = build_model(cfg.model)
+
+    if variables is None:
+        variables = load_model_weights(model, cfg)
+
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(variables["params"]))
+    logger.info(f"Number of parameters: {n_params}")
+
+    val_error_dict = build_metric(cfg.test.metrics)
+    if "MAD" in val_error_dict:
+        from ..utils.metrics import MAD_bg, MAD_fg, MAD_unk
+        val_error_dict["MAD_fg"] = MAD_fg()
+        val_error_dict["MAD_bg"] = MAD_bg()
+        val_error_dict["MAD_unk"] = MAD_unk()
+
+    logger.info("Start testing...")
+    val_fn = eval_video if cfg.dataset.test.name == "VIM" else eval_image
+    callback = (partial(save_visualization, save_dir=cfg.test.save_dir)
+                if cfg.test.save_results else None)
+    batch_time, data_time = val_fn(model, variables, val_loader, cfg.test.log_iter,
+                                   val_error_dict,
+                                   do_postprocessing=cfg.test.postprocessing,
+                                   callback=callback)
+    logger.info("Testing done!")
+
+    for v in val_error_dict.values():
+        v.gather_metric()
+
+    results = {}
+    if jax.process_index() == 0:
+        metric_str = ""
+        for k, v in val_error_dict.items():
+            results[k] = v.average()
+            metric_str += f"{k}: {v.average()}\n"
+        logger.info("Metrics:\n" + metric_str)
+        logger.info(",".join(str(v.average()) for v in val_error_dict.values()) + ",")
+        logger.info(f"batch_time: {batch_time:.4f}, data_time: {data_time:.4f}")
+    return results

@@ -1,0 +1,219 @@
+"""Training engine (reference ``maggie/engine/train.py:115-348``).
+
+Iteration-based loop with the reference's cadence (log/vis/val iters, best/last
+checkpointing, shape-tolerant pretrained load, resume). TPU-native differences:
+
+- the step body is one jitted function (``engine/train_step.py``) over a ``data``
+  mesh axis — DDP/SyncBN/GradScaler all disappear into XLA collectives and bf16;
+- Python-level randomness (the 75% PRM draw, warmup-gate randomness) is drawn
+  host-side per step and dispatched as STATIC flags, so the few variants compile
+  once each;
+- checkpoints are orbax + npz (``best_model``/``last_model``/``last_opt`` roles kept).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import numpy as np
+
+from ..data import build_dataset
+from ..data.loader import DataLoader
+from ..utils.meters import AverageMeter
+from ..utils.metrics import build_metric
+from .optim import build_optimizer
+from .train_step import TrainState, create_train_state, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+def _wandb():
+    try:
+        import wandb
+        return wandb
+    except ImportError:
+        return None
+
+
+def _host_batch_to_device(batch: dict, mesh=None):
+    import jax
+    import jax.numpy as jnp
+    keep = {"image", "mask", "alpha", "transition"}
+    b = {k: jnp.asarray(v) for k, v in batch.items() if k in keep}
+    if mesh is not None:
+        from ..parallel import shard_batch
+        b = shard_batch(b, mesh)
+    return b
+
+
+def train(cfg, use_wandb: bool | None = None):
+    import jax
+
+    from ..models import build_model
+    from ..parallel import create_mesh, replicate
+    from ..utils.checkpoint import (partial_load, restore_checkpoint, save_checkpoint,
+                                    save_variables_npz)
+
+    wandb = _wandb() if (use_wandb if use_wandb is not None else cfg.wandb.use) else None
+    seed = cfg.train.seed if cfg.train.seed >= 0 else 2023
+
+    logger.info("Creating train dataset...")
+    train_dataset = build_dataset(cfg, is_train=True, random_seed=seed)
+    nproc, pid = jax.process_count(), jax.process_index()
+    train_loader = DataLoader(train_dataset, batch_size=cfg.train.batch_size,
+                              shuffle=True, drop_last=True, seed=seed,
+                              num_shards=nproc, shard_index=pid, infinite=True)
+
+    logger.info("Creating val dataset...")
+    val_dataset = build_dataset(cfg, is_train=False)
+    val_loader = DataLoader(val_dataset, batch_size=cfg.test.batch_size, shuffle=False,
+                            num_shards=nproc if cfg.train.val_dist else 1,
+                            shard_index=pid if cfg.train.val_dist else 0)
+
+    logger.info("Building model...")
+    model = build_model(cfg.model)
+    tx, schedule = build_optimizer(cfg)
+
+    # data-axis size must divide the per-process batch; use the largest divisor
+    n_dev = len(jax.devices())
+    mesh_size = 1
+    for d in range(min(n_dev, cfg.train.batch_size), 0, -1):
+        if cfg.train.batch_size % d == 0:
+            mesh_size = d
+            break
+    if mesh_size < n_dev:
+        logger.warning(f"Using {mesh_size}/{n_dev} devices (batch {cfg.train.batch_size} "
+                       f"not divisible by device count)")
+    mesh = create_mesh(mesh_size) if mesh_size > 1 else None
+
+    # init from the first batch's shapes
+    first = next(iter(DataLoader(train_dataset, batch_size=1, seed=seed)))
+    init_batch = _host_batch_to_device(first)
+    rng = jax.random.PRNGKey(seed)
+    state = create_train_state(model, tx, init_batch, rng)
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(state.params))
+    logger.info(f"Number of trainable parameters: {n_params}")
+
+    # pretrained weights (shape-tolerant partial load, reference train.py:171-180)
+    if cfg.model.weights and os.path.isfile(cfg.model.weights) and cfg.model.weights.endswith(".npz"):
+        from flax.traverse_util import flatten_dict
+        data = np.load(cfg.model.weights)
+        loaded = {tuple(k.split("/")): v for k, v in data.items()}
+        params_flat = {k[1:]: v for k, v in loaded.items() if k[0] == "params"}
+        state = state.replace(params=partial_load(state.params, params_flat))
+        logger.info(f"Loaded pretrained weights from {cfg.model.weights}")
+
+    it = 0
+    best_score = 99999999999.0
+
+    # resume (reference train.py:182-190)
+    if cfg.train.resume != "" or cfg.train.resume_last:
+        model_path = cfg.train.resume if cfg.train.resume != "" else cfg.output_dir
+        last = os.path.join(model_path, "last_state")
+        if os.path.isdir(last):
+            state = restore_checkpoint(last, state)
+            it = int(state.step)
+            if os.path.exists(os.path.join(model_path, "best_score.txt")):
+                best_score = float(open(os.path.join(model_path, "best_score.txt")).read().strip())
+            logger.info(f"Resuming from iter {it}, best score {best_score}")
+        else:
+            raise ValueError(f"Cannot resume model from {model_path}")
+
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    train_step = make_train_step(model, tx)
+    batch_time = AverageMeter("batch_time")
+    data_time = AverageMeter("data_time")
+    log_metrics: dict[str, AverageMeter] = {}
+
+    val_error_dict = build_metric(cfg.train.val_metrics)
+    assert val_error_dict, "No validation metrics found!"
+    assert cfg.train.val_best_metric in val_error_dict, "Best validation metric not found!"
+
+    dargs = cfg.model.decoder_args
+    warmup_atten = int(dargs.get("warmup_mask_atten_iter", 4000))
+    warmup_detail = int(dargs.get("warmup_detail_iter", 3000))
+    host_rng = np.random.RandomState(seed + 77)
+    step_rng = jax.random.PRNGKey(seed + 1)
+
+    from .test import eval_image, eval_video
+    eval_fn = eval_video if cfg.dataset.test.name == "VIM" else eval_image
+
+    logger.info("Start training...")
+    end_time = time.time()
+    loader_iter = iter(train_loader)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+
+    while it < cfg.train.max_iter:
+        batch = next(loader_iter)
+        data_time.update(time.time() - end_time)
+        it += 1
+
+        dbatch = _host_batch_to_device(batch, mesh)
+        use_mask_atten = it < warmup_atten
+        use_gt_guidance = bool(it < warmup_detail or
+                               (it < warmup_detail * 3 and host_rng.rand() < 0.5))
+        use_prm_weights = bool(host_rng.rand() < 0.75)
+        atten_loss_enabled = it >= warmup_atten
+
+        state, loss_dict = train_step(
+            state, dbatch, step_rng,
+            use_mask_atten=use_mask_atten,
+            use_gt_guidance=use_gt_guidance,
+            use_prm_weights=use_prm_weights,
+            atten_loss_enabled=atten_loss_enabled)
+
+        if it % cfg.train.log_iter == 0:
+            # materialize loss scalars only on log steps (keeps the device pipeline full)
+            host_losses = {k: float(v) for k, v in loss_dict.items()}
+            if not np.isfinite(host_losses["total"]):
+                logger.error(f"Iter {it}: non-finite loss {host_losses['total']}")
+            for k, v in host_losses.items():
+                log_metrics.setdefault(k, AverageMeter(k)).update(v)
+            lr = float(schedule(it))
+            s = f"Iter: {it}/{cfg.train.max_iter}"
+            s += "".join(f", {k}: {v.avg:.4f}" for k, v in log_metrics.items())
+            s += f", lr: {lr:.6f}, batch_time: {batch_time.avg:.4f}s, data_time: {data_time.avg:.4f}s"
+            logger.info(s)
+            if wandb is not None and pid == 0:
+                wandb.log({f"train/{k}": v.val for k, v in log_metrics.items()} |
+                          {"train/lr": lr, "train/iter": it})
+
+        batch_time.update(time.time() - end_time)
+
+        if it % cfg.train.val_iter == 0:
+            logger.info("Start validation...")
+            for v in val_error_dict.values():
+                v.reset()
+            eval_fn(model, state.variables(), val_loader, cfg.test.log_iter,
+                    val_error_dict, do_postprocessing=False, callback=None)
+            if cfg.train.val_dist:
+                for v in val_error_dict.values():
+                    v.gather_metric()
+            if pid == 0:
+                logger.info("Validation:" + ", ".join(
+                    f"{k}: {v.average():.4f}" for k, v in val_error_dict.items()))
+                total_error = val_error_dict[cfg.train.val_best_metric].average()
+                if total_error < best_score:
+                    logger.info(f"Best score changed from {best_score:.4f} to {total_error:.4f}")
+                    best_score = total_error
+                    save_variables_npz(os.path.join(cfg.output_dir, "best_model.npz"),
+                                       jax.device_get(state.variables()))
+                    with open(os.path.join(cfg.output_dir, "best_metrics.txt"), "w") as f:
+                        f.write(f"iter: {it}\n")
+                        for k, v in val_error_dict.items():
+                            f.write(f"{k}: {v.average():.4f}\n")
+                if wandb is not None:
+                    wandb.log({f"val/{k}": v.average() for k, v in val_error_dict.items()} |
+                              {"val/best_error": best_score, "val/iter": it})
+                logger.info("Saving the last model...")
+                save_checkpoint(os.path.join(cfg.output_dir, "last_state"),
+                                jax.device_get(state))
+                with open(os.path.join(cfg.output_dir, "best_score.txt"), "w") as f:
+                    f.write(str(best_score))
+        end_time = time.time()
+
+    return state

@@ -1,0 +1,44 @@
+"""Device mesh + sharding helpers.
+
+The reference's distribution story is data parallelism via one-process-per-GPU DDP
+over NCCL (``tools/main.py:41-42``, ``engine/train.py:163-164``). The TPU-native
+equivalent is a ``jax.sharding.Mesh`` with a ``data`` axis: the batch is sharded over
+it, parameters are replicated, and XLA inserts the gradient/BN-stat collectives over
+ICI during jit compilation (subsuming DDP's all-reduce and SyncBN). No launcher is
+required: a single process drives all local devices.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    mesh_devices = mesh_utils.create_device_mesh((n,), devices=devices[:n])
+    return Mesh(mesh_devices, (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
+    """Place a host batch dict on the mesh, sharded over the leading (batch) dim."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

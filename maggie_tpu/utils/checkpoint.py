@@ -1,0 +1,120 @@
+"""Checkpointing: best/last policy via orbax + shape-tolerant partial load.
+
+Mirrors the reference artifacts (``engine/train.py:313-343``): ``best_model`` on val
+improvement, ``last_model`` + optimizer/scheduler/iter/best_score for resume, and the
+shape-tolerant partial loader that reports missing/unexpected/mismatched keys
+(``engine/train.py:80-96``). Torch ``.pth`` checkpoints are converted through
+``tools/convert_torch_ckpt.py``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+    return ocp
+
+
+def save_checkpoint(path: str, state: Any) -> None:
+    ocp = _ocp()
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def restore_checkpoint(path: str, target: Any) -> Any:
+    ocp = _ocp()
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, target)
+
+
+def partial_load(params: Any, loaded_flat: dict[tuple, np.ndarray]) -> Any:
+    """Shape-tolerant partial load (reference ``load_state_dict``,
+    ``engine/train.py:80-96``): copy matching keys with matching shapes, keep the
+    rest, and log missing/unexpected/mismatched."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = flatten_dict(params)
+    missing, mismatched = [], []
+    used = set()
+    out = {}
+    for k, v in flat.items():
+        if k in loaded_flat:
+            lv = np.asarray(loaded_flat[k])
+            if tuple(lv.shape) == tuple(v.shape):
+                out[k] = lv.astype(np.asarray(v).dtype)
+                used.add(k)
+            else:
+                mismatched.append(("/".join(k), tuple(v.shape), tuple(lv.shape)))
+                out[k] = v
+        else:
+            missing.append("/".join(k))
+            out[k] = v
+    unexpected = ["/".join(k) for k in loaded_flat if k not in used and k not in flat]
+    if missing:
+        logger.warning(f"Missing keys ({len(missing)}): {missing[:10]}...")
+    if unexpected:
+        logger.warning(f"Unexpected keys ({len(unexpected)}): {unexpected[:10]}...")
+    if mismatched:
+        logger.warning(f"Shape-mismatched keys: {mismatched[:10]}...")
+    return unflatten_dict(out)
+
+
+def load_model_weights(model, cfg, seed: int = 0) -> dict:
+    """Build eval variables: from an orbax/npz checkpoint if ``cfg.model.weights``
+    points at one, else fresh init (reference loads file-or-HF-hub,
+    ``test.py:318-327``; HF hub is out of scope on this air-gapped box)."""
+    import jax.numpy as jnp
+
+    h = int(cfg.dataset.test.short_size) if cfg.dataset.get("test") else 256
+    h = max((h // 64) * 64, 64)
+    dummy = {
+        "image": jnp.zeros((1, 1, h, h, 3), jnp.float32),
+        "mask": jnp.zeros((1, 1, 1, h // 8, h // 8), jnp.float32),
+    }
+    variables = model.init({"params": jax.random.PRNGKey(seed)}, dummy, train=False)
+    weights = cfg.model.weights
+    if not weights:
+        logger.warning("No weights specified; using random init")
+        return variables
+
+    if weights.endswith(".npz"):
+        from flax.traverse_util import flatten_dict, unflatten_dict
+        data = np.load(weights, allow_pickle=False)
+        loaded = {tuple(k.split("/")): v for k, v in data.items()}
+        params_flat = {k[1:]: v for k, v in loaded.items() if k[0] == "params"}
+        variables = dict(variables)
+        variables["params"] = partial_load(variables["params"], params_flat)
+        for coll in ("batch_stats", "spectral"):
+            coll_flat = {k[1:]: v for k, v in loaded.items() if k[0] == coll}
+            if coll_flat and coll in variables:
+                variables[coll] = partial_load(variables[coll], coll_flat)
+        logger.info(f"Loaded weights from {weights}")
+        return variables
+
+    if os.path.isdir(weights):
+        restored = restore_checkpoint(weights, variables)
+        logger.info(f"Restored orbax checkpoint from {weights}")
+        return restored
+
+    raise FileNotFoundError(f"Cannot load weights from {weights!r}: expected an "
+                            f".npz (use tools/convert_torch_ckpt.py) or an orbax dir")
+
+
+def save_variables_npz(path: str, variables: dict) -> None:
+    from flax.traverse_util import flatten_dict
+    out = {}
+    for coll, tree in variables.items():
+        for k, v in flatten_dict(tree).items():
+            out["/".join((coll,) + k)] = np.asarray(v)
+    np.savez(path, **out)
