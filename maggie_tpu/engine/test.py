@@ -208,10 +208,11 @@ def eval_video(model, variables, val_loader, log_iter, val_error_dict,
 
         if mem_feats is None and "mem_feat" in output:
             mf = output["mem_feat"]
+            # reference only carries tuple-typed memory (test.py:252-254); the
+            # ConvGRU hidden state is a plain tensor, so released-model eval runs
+            # with fresh memory per clip — replicated for parity
             if isinstance(mf, tuple):
                 mem_feats = tuple(x[:, 0] for x in mf)
-            else:
-                mem_feats = mf
 
         if callback is not None:
             end_idx = 1 if not is_last else len(all_preds)

@@ -48,8 +48,16 @@ def _dec_res_shortcut_22(args: dict) -> nn.Module:
     return ResShortCutDec(**{k: v for k, v in args.items() if k in known}, name="decoder_mod")
 
 
+def _dec_inst_matt_spconv_temp(args: dict) -> nn.Module:
+    from .decoder_video import ResShortCutInstMattSpconvTempDec
+    known = {f.name for f in ResShortCutInstMattSpconvTempDec.__dataclass_fields__.values()} - {"name", "parent"}
+    return ResShortCutInstMattSpconvTempDec(
+        **{k: v for k, v in args.items() if k in known}, name="decoder_mod")
+
+
 DECODERS: dict[str, Callable[[dict], nn.Module]] = {
     "res_shortcut_inst_matt_spconv_22": _dec_inst_matt_spconv,
+    "res_shortcut_inst_matt_spconv_temp_22": _dec_inst_matt_spconv_temp,
     "res_shortcut_22": _dec_res_shortcut_22,
 }
 

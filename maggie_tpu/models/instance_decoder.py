@@ -206,13 +206,16 @@ class InstanceMatteDecoder(nn.Module):
                                            fm.shape[2] * int(self.atten_stride)), align_corners=True)
             fm = ori_feat + fm
 
-        def smooth_conv(z, prefix="conv"):
-            z = Conv(self.attention_dim, (3, 3), (1, 1), (1, 1), use_bias=False, name=f"{prefix}_0")(z)
-            z = BatchNorm(name=f"{prefix}_bn0")(z, train)
-            z = nn.leaky_relu(z, 0.2)
-            z = Conv(self.output_dim, (1, 1), (1, 1), (0, 0), use_bias=False, name=f"{prefix}_1")(z)
-            z = BatchNorm(name=f"{prefix}_bn1")(z, train)
-            return nn.leaky_relu(z, 0.2)
+        # ONE conv stack shared across both applications (reference self.conv,
+        # instance_matte_decoder.py:81-88 applied at :287-290)
+        conv_a = Conv(self.attention_dim, (3, 3), (1, 1), (1, 1), use_bias=False, name="conv_0")
+        bn_a = BatchNorm(name="conv_bn0")
+        conv_b = Conv(self.output_dim, (1, 1), (1, 1), (0, 0), use_bias=False, name="conv_1")
+        bn_b = BatchNorm(name="conv_bn1")
+
+        def smooth_conv(z):
+            z = nn.leaky_relu(bn_a(conv_a(z), train), 0.2)
+            return nn.leaky_relu(bn_b(conv_b(z), train), 0.2)
 
         hidden_state = None
         if aggregate_mem_fn is not None:

@@ -116,7 +116,7 @@ class MaGGIe(nn.Module):
 
         pred = self.decoder(
             embedding, mid_fea, b=b, n_f=n_f, n_i=n_i,
-            masks=masks, gt_alphas=alphas_flat,
+            masks=masks, gt_alphas=alphas_flat, spar_gt=trans_flat,
             use_mask_atten=use_mask_atten, use_gt_guidance=use_gt_guidance,
             train=train, update_sn=update_sn, mem_feat=mem_feat, **kwargs)
         if isinstance(pred, tuple):
@@ -156,6 +156,7 @@ class MaGGIe(nn.Module):
             if "loss_max_atten" in pred and self.loss_atten_w > 0 and atten_loss_enabled:
                 loss_dict["loss_max_atten"] = pred["loss_max_atten"]
                 loss_dict["total"] = loss_dict["total"] + loss_dict["loss_max_atten"] * self.loss_atten_w
+            self._extra_losses(pred, loss_dict)
             return output, loss_dict
 
         # inference: keep only the true instances
@@ -165,6 +166,9 @@ class MaGGIe(nn.Module):
             if k.startswith("mem_"):
                 output[k] = pred[k]
         return output
+
+    def _extra_losses(self, pred, loss_dict):
+        """Hook for subclass losses (reference ``update_additional_decoder_loss``)."""
 
     def _transform_output(self, b, n_f, h, w, n_i, pred, alpha_pred, train):
         out = {}

@@ -76,11 +76,11 @@ def load_model_weights(model, cfg, seed: int = 0) -> dict:
     ``test.py:318-327``; HF hub is out of scope on this air-gapped box)."""
     import jax.numpy as jnp
 
-    h = int(cfg.dataset.test.short_size) if cfg.dataset.get("test") else 256
-    h = max((h // 64) * 64, 64)
+    h = 64  # init shapes don't affect parameter shapes; keep the trace tiny
+    n_f = int(cfg.dataset.test.get("clip_length", 1)) if cfg.dataset.test.name == "VIM" else 1
     dummy = {
-        "image": jnp.zeros((1, 1, h, h, 3), jnp.float32),
-        "mask": jnp.zeros((1, 1, 1, h // 8, h // 8), jnp.float32),
+        "image": jnp.zeros((1, n_f, h, h, 3), jnp.float32),
+        "mask": jnp.zeros((1, n_f, 1, h // 8, h // 8), jnp.float32),
     }
     variables = model.init({"params": jax.random.PRNGKey(seed)}, dummy, train=False)
     weights = cfg.model.weights
