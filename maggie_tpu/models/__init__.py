@@ -55,10 +55,17 @@ def _dec_inst_matt_spconv_temp(args: dict) -> nn.Module:
         **{k: v for k, v in args.items() if k in known}, name="decoder_mod")
 
 
+def _dec_res_shortcut_fam_22(args: dict) -> nn.Module:
+    from .decoder_fam import ResShortCutFAMDec
+    known = {f.name for f in ResShortCutFAMDec.__dataclass_fields__.values()} - {"name", "parent"}
+    return ResShortCutFAMDec(**{k: v for k, v in args.items() if k in known}, name="decoder_mod")
+
+
 DECODERS: dict[str, Callable[[dict], nn.Module]] = {
     "res_shortcut_inst_matt_spconv_22": _dec_inst_matt_spconv,
     "res_shortcut_inst_matt_spconv_temp_22": _dec_inst_matt_spconv_temp,
     "res_shortcut_22": _dec_res_shortcut_22,
+    "res_shortcut_fam_22": _dec_res_shortcut_fam_22,
 }
 
 
@@ -88,8 +95,20 @@ def build_model(model_cfg: Any) -> nn.Module:
     except ImportError:
         pass
     try:
-        from .sparsemat import SparseMat
+        from .sparsemat import SparseMat, SparseMatSingInst
         archs["SparseMat"] = SparseMat
+        archs["SparseMat_SingInst"] = SparseMatSingInst
+    except ImportError:
+        pass
+    try:
+        from .mgm_wrappers import MGMSingInst
+        archs["MGM_SingInst"] = MGMSingInst
+    except ImportError:
+        pass
+    try:
+        from .tcvom import TCVOM, TCVOMSingInst
+        archs["TCVOM"] = TCVOM
+        archs["TCVOM_SingInst"] = TCVOMSingInst
     except ImportError:
         pass
     name = model_cfg.arch

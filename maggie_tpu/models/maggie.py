@@ -182,8 +182,11 @@ class MaGGIe(nn.Module):
             out["detail_mask"] = pred["detail_mask"][:, :n_out].reshape(b, n_f, n_out, h, w)
         return out
 
-    def compute_loss(self, pred, weight_os4, weight_os1, alphas, trans_gt, alpha_shape):
+    def compute_loss(self, pred, weight_os4, weight_os1, alphas, trans_gt, alpha_shape,
+                     reweight_os8=None):
         """Reference ``compute_loss`` (maggie.py:268-368)."""
+        if reweight_os8 is None:
+            reweight_os8 = self.reweight_os8
         a1 = pred.get("alpha_os1")
         a4 = pred.get("alpha_os4")
         a8 = pred["alpha_os8"]
@@ -191,7 +194,7 @@ class MaGGIe(nn.Module):
 
         valid = (jnp.sum(alphas, axis=(2, 3), keepdims=True) > 0).astype(jnp.float32)
         weight_os8 = jnp.ones_like(a8) * valid
-        if self.reweight_os8:
+        if reweight_os8:
             unk_gt = (alphas <= 254.0 / 255.0) & (alphas >= 1.0 / 255.0)
             unk_pred = (a8 <= 254.0 / 255.0) & (a8 >= 1.0 / 255.0)
             weight_os8 = (unk_gt | unk_pred).astype(weight_os8.dtype) + weight_os8

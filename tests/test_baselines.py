@@ -1,0 +1,106 @@
+"""Baseline arch smoke tests: MGM (+SingInst/stacked), SparseMat, TCVOM — eval
+forward shapes/finiteness and train loss + grads."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from maggie_tpu.config import load_config
+from maggie_tpu.models import build_model
+
+
+def _batch(b=1, n_f=1, n_i=2, h=64, w=64, seed=0, with_gt=True):
+    rs = np.random.RandomState(seed)
+    batch = {
+        "image": jnp.asarray(rs.rand(b, n_f, h, w, 3).astype(np.float32)),
+        "mask": jnp.asarray((rs.rand(b, n_f, n_i, h, w) > 0.6).astype(np.float32)),
+    }
+    if with_gt:
+        batch["alpha"] = jnp.asarray(rs.rand(b, n_f, n_i, h, w).astype(np.float32))
+        batch["transition"] = jnp.asarray((rs.rand(b, n_f, n_i, h, w) > 0.7).astype(np.float32))
+    return batch
+
+
+def _shrink(cfg):
+    if "atten_dim" in cfg.model.decoder_args:
+        cfg.model.decoder_args.atten_dim = 32
+        cfg.model.decoder_args.final_channel = 32
+    return cfg
+
+
+def _init_and_eval(cfg, batch, **kwargs):
+    model = build_model(cfg.model)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False, **kwargs)
+    out = model.apply(variables, batch, train=False, **kwargs)
+    return model, variables, out
+
+
+def test_mgm_singinst_eval_and_train():
+    cfg = load_config("configs/mgm.yaml")
+    batch = _batch(n_i=2, with_gt=False)
+    model, variables, out = _init_and_eval(cfg, batch)
+    assert out["refined_masks"].shape == (1, 1, 2, 64, 64)
+    a = np.asarray(out["refined_masks"])
+    assert np.isfinite(a).all() and a.min() >= 0 and a.max() <= 1
+
+    (o, loss), _ = model.apply(
+        variables, _batch(n_i=1), train=True,
+        rngs={"unknown": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats", "spectral"])
+    assert np.isfinite(float(loss["total"]))
+
+
+def test_mgm_stacked_eval():
+    cfg = load_config("configs/mgm_stacked.yaml")
+    batch = _batch(n_i=3, with_gt=False)
+    _, _, out = _init_and_eval(cfg, batch)
+    assert out["refined_masks"].shape == (1, 1, 3, 64, 64)
+    assert np.isfinite(np.asarray(out["refined_masks"])).all()
+
+
+def test_sparsemat_eval_and_train():
+    cfg = load_config("configs/sparsemat_image.yaml")
+    batch = _batch(n_i=2, h=128, w=128, with_gt=False)
+    model, variables, out = _init_and_eval(cfg, batch)
+    assert out["refined_masks"].shape == (1, 1, 2, 128, 128)
+    assert np.isfinite(np.asarray(out["refined_masks"])).all()
+
+    tb = _batch(n_i=1, h=128, w=128)
+    (o, loss), _ = model.apply(
+        variables, tb, train=True,
+        rngs={"unknown": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats", "spectral"])
+    assert np.isfinite(float(loss["total"]))
+    for k in ["loss_rec", "loss_lap", "loss_grad"]:
+        assert k in loss
+
+
+def test_sparsemat_video_streaming():
+    cfg = load_config("configs/sparsemat_video.yaml")
+    batch = _batch(n_f=3, n_i=1, h=128, w=128, with_gt=False)
+    _, _, out = _init_and_eval(cfg, batch)
+    assert out["refined_masks"].shape == (1, 3, 1, 128, 128)
+    assert np.isfinite(np.asarray(out["refined_masks"])).all()
+
+
+def test_tcvom_eval_and_train():
+    cfg = load_config("configs/mgm_tcvom.yaml")
+    batch = _batch(n_f=3, n_i=1, with_gt=False)
+    model, variables, out = _init_and_eval(cfg, batch)
+    assert out["refined_masks"].shape == (1, 3, 1, 64, 64)
+    assert np.isfinite(np.asarray(out["refined_masks"])).all()
+
+    (o, loss), _ = model.apply(
+        variables, _batch(n_f=3, n_i=1), train=True,
+        rngs={"unknown": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+        mutable=["batch_stats", "spectral"])
+    assert np.isfinite(float(loss["total"]))
+    assert "loss_atten" in loss
+
+
+def test_tcvom_stacked_eval():
+    cfg = load_config("configs/mgm_stacked_tcvom.yaml")
+    batch = _batch(n_f=3, n_i=2, with_gt=False)
+    _, _, out = _init_and_eval(cfg, batch)
+    assert out["refined_masks"].shape == (1, 3, 2, 64, 64)
