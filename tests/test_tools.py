@@ -1,0 +1,58 @@
+"""Offline tools: image synthesizer and results extraction."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+from PIL import Image
+
+
+def test_synthesize_image_him(tmp_path):
+    rs = np.random.RandomState(0)
+    img_root = tmp_path / "hhm/images"
+    alpha_root = tmp_path / "hhm/alphas"
+    bg_root = tmp_path / "bg"
+    img_root.mkdir(parents=True)
+    alpha_root.mkdir(parents=True)
+    bg_root.mkdir(parents=True)
+    for i in range(6):
+        h, w = 120, 90
+        Image.fromarray(rs.randint(0, 255, (h, w, 3), np.uint8)).save(img_root / f"p{i}.jpg")
+        a = np.zeros((h, w), np.uint8)
+        a[20:100, 20:70] = 255
+        Image.fromarray(a).save(alpha_root / f"p{i}.png")
+    for i in range(2):
+        Image.fromarray(rs.randint(0, 255, (200, 320, 3), np.uint8)).save(bg_root / f"bg{i}.jpg")
+
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "tools/synthesize_image_him.py",
+         "--image-root", str(img_root), "--bg-root", str(bg_root),
+         "--output_dir", str(out), "--max-num-images", "4", "--n-workers", "1",
+         "--invalid-names", str(tmp_path / "none.txt")],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    images = os.listdir(out / "images")
+    assert len(images) >= 1
+    sample = images[0].replace(".jpg", "")
+    alphas = os.listdir(out / "alphas" / sample)
+    assert 1 <= len(alphas) <= 4
+    a = np.array(Image.open(out / "alphas" / sample / alphas[0]))
+    assert a.max() > 0
+
+
+def test_extract_results(tmp_path):
+    log = tmp_path / "test-log_rank0.log"
+    log.write_text(
+        "INFO: merged dataset.test.split=natural dataset.test.mask_dir_name=masks_matched_r50_fpn_3x\n"
+        "INFO maggie_tpu.engine.test: Metrics:\n"
+        "MAD: 27.17\nMSE: 10.0\nSAD: 5.0\nGrad: 9.94\nConn: 3.3\n"
+        "MAD_fg: 1.0\nMAD_bg: 2.0\nMAD_unk: 3.0\n")
+    out = tmp_path / "csvout"
+    r = subprocess.run([sys.executable, "tools/extract_results.py", str(log), str(out)],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    rows = (out / "results.csv").read_text().strip().split("\n")
+    assert rows[0].startswith("split,masks,MAD")
+    assert "27.17" in rows[1] and "r50_fpn_3x" in rows[1]
