@@ -25,6 +25,34 @@ def create_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
     return Mesh(mesh_devices, (axis_name,))
 
 
+def create_mesh_2d(dp: int, sp: int, axis_names: tuple[str, str] = ("data", "space")) -> Mesh:
+    """2D mesh: batch over ``data``, image rows over ``space``. GSPMD inserts the
+    conv halo exchanges over ICI automatically for H-sharded activations — the
+    TPU-native path to scaling high-resolution frames beyond one chip's HBM."""
+    devices = jax.devices()
+    assert dp * sp <= len(devices), (dp, sp, len(devices))
+    mesh_devices = mesh_utils.create_device_mesh((dp, sp), devices=devices[: dp * sp])
+    return Mesh(mesh_devices, axis_names)
+
+
+def shard_batch_2d(batch: dict, mesh: Mesh) -> dict:
+    """Shard batch dim over 'data' and the image H dim over 'space'.
+
+    Maps layouts: image (b, n_f, H, W, 3) -> P('data', None, 'space');
+    mask/alpha/transition (b, n_f, n_i, H, W) -> P('data', None, None, 'space').
+    """
+    def put(k, x):
+        if x.ndim == 5 and k == "image":
+            spec = P("data", None, "space")
+        elif x.ndim == 5:
+            spec = P("data", None, None, "space")
+        else:
+            spec = P("data")
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return {k: put(k, v) for k, v in batch.items()}
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
