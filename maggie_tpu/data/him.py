@@ -43,10 +43,13 @@ class HIMDataset:
         self.downscale_mask = (downscale_mask_p > 0) if is_train else downscale_mask
         self.random = np.random.RandomState(random_seed)
 
+        # NOTE the reference's helper names are swapped relative to use
+        # (him.py:31-34): EVAL reads root/images/<split>, TRAIN reads
+        # root/<split>/images (docs/DATASET.md:68-107)
         if is_train:
-            self._index_train()
+            self._index_split_first()
         else:
-            self._index_test()
+            self._index_images_first()
 
         tf = [
             T.Load(),
@@ -71,7 +74,9 @@ class HIMDataset:
         tf += [T.ToNumpy(), T.Normalize()]
         self.transforms = T.Compose(tf)
 
-    def _index_train(self):
+    def _index_images_first(self):
+        """root/images/<split>/*.jpg + root/<alpha_dir>/<split>/<image>/ — the EVAL
+        layout (reference ``prepare_image_train``, him.py:67-80)."""
         images = sorted(glob.glob(os.path.join(self.root_dir, "images", self.split, "*.jpg")))
         data = []
         target = self.alpha_dir_name if self.mask_dir_name == "" else self.mask_dir_name
@@ -85,7 +90,9 @@ class HIMDataset:
                                  for p in alphas]))
         self.data = data
 
-    def _index_test(self):
+    def _index_split_first(self):
+        """root/<split>/images/*.jpg + root/<split>/<alpha_dir>/<image>/ — the TRAIN
+        layout (reference ``prepare_image_test``, him.py:82-89)."""
         images = sorted(glob.glob(os.path.join(self.root_dir, self.split, "images", "*.jpg")))
         data = []
         for image in images:

@@ -72,7 +72,7 @@ class SNConv(nn.Module):
             u_var.value = u
             v_var.value = v
         sigma = u @ (w_mat.astype(jnp.float32) @ v)
-        kernel = kernel / sigma.astype(kernel.dtype)
+        kernel = (kernel / sigma.astype(kernel.dtype)).astype(x.dtype)
 
         y = jax.lax.conv_general_dilated(
             x, kernel,
@@ -82,7 +82,7 @@ class SNConv(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -120,7 +120,7 @@ class SNConvTranspose(nn.Module):
             u_var.value = u
             v_var.value = v
         sigma = u @ (w_mat.astype(jnp.float32) @ v)
-        kernel = kernel / sigma.astype(kernel.dtype)
+        kernel = (kernel / sigma.astype(kernel.dtype)).astype(x.dtype)
 
         # transposed conv == lhs-dilated correlation with the spatially-flipped kernel
         pad = kh - 1 - self.torch_padding
@@ -152,7 +152,7 @@ class Conv(nn.Module):
         in_ch = x.shape[-1] // self.feature_group_count
         kernel = self.param("weight", self.kernel_init, (kh, kw, in_ch, self.features))
         y = jax.lax.conv_general_dilated(
-            x, kernel,
+            x, kernel.astype(x.dtype),
             window_strides=self.strides,
             padding=[self.padding, self.padding],
             rhs_dilation=self.dilation,
@@ -161,7 +161,7 @@ class Conv(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 

@@ -34,12 +34,13 @@ class SubMConvD(nn.Module):
         pad = d * (k // 2)
         kernel = self.param("weight", nn.initializers.xavier_uniform(),
                             (k, k, x.shape[-1], self.features))
+        xm = x * mask.astype(x.dtype)
         y = jax.lax.conv_general_dilated(
-            x * mask, kernel, (1, 1), [(pad, pad), (pad, pad)],
+            xm, kernel.astype(xm.dtype), (1, 1), [(pad, pad), (pad, pad)],
             rhs_dilation=(d, d), dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
-        return y * mask
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,)).astype(y.dtype)
+        return y * mask.astype(y.dtype)
 
 
 class StridedSparseConv(nn.Module):
@@ -52,13 +53,14 @@ class StridedSparseConv(nn.Module):
     def __call__(self, x, mask):
         kernel = self.param("weight", nn.initializers.xavier_uniform(),
                             (3, 3, x.shape[-1], self.features))
+        xm = x * mask.astype(x.dtype)
         y = jax.lax.conv_general_dilated(
-            x * mask, kernel, (2, 2), [(1, 1), (1, 1)],
+            xm, kernel.astype(xm.dtype), (2, 2), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,)).astype(y.dtype)
         m_out = active_mask_downsample(mask)
-        return y * m_out, m_out
+        return y * m_out.astype(y.dtype), m_out
 
 
 class SparseBasicBlock(nn.Module):

@@ -60,15 +60,16 @@ class SubMConv(nn.Module):
         k = self.kernel_size
         kernel = self.param("weight", nn.initializers.xavier_uniform(),
                             (k, k, x.shape[-1], self.features))
+        xm = x * mask.astype(x.dtype)
         y = jax.lax.conv_general_dilated(
-            x * mask, kernel,
+            xm, kernel.astype(xm.dtype),
             window_strides=(1, 1),
             padding=[(k // 2, k // 2), (k // 2, k // 2)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
-        return y * mask
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,)).astype(y.dtype)
+        return y * mask.astype(y.dtype)
 
 
 class SparseInverseConv(nn.Module):
@@ -89,16 +90,18 @@ class SparseInverseConv(nn.Module):
                             (k, k, x_coarse.shape[-1], self.features))
         pad_lo = k - 1 - 1  # torch padding=1
         pad_hi = pad_lo + 1  # output_padding=1 restores the even size
+        xm = x_coarse * mask_coarse.astype(x_coarse.dtype)
+        kernel = kernel.astype(xm.dtype)
         y = jax.lax.conv_general_dilated(
-            x_coarse * mask_coarse, jnp.flip(kernel, axis=(0, 1)),
+            xm, jnp.flip(kernel, axis=(0, 1)),
             window_strides=(1, 1),
             padding=[(pad_lo, pad_hi), (pad_lo, pad_hi)],
             lhs_dilation=(2, 2),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
-        return y * mask_fine
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,)).astype(y.dtype)
+        return y * mask_fine.astype(y.dtype)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -131,5 +134,6 @@ class MaskedBatchNorm(nn.Module):
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
-        return (y * mask).astype(x.dtype)
+        y = ((x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+             * scale + bias)
+        return (y * mask.astype(y.dtype)).astype(x.dtype)

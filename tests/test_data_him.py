@@ -22,16 +22,17 @@ def _make_blob_alpha(h, w, cx, cy, r, rs):
 def him_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("him")
     rs = np.random.RandomState(0)
-    # train layout: root/images/<split>/x.jpg + root/alphas/<split>/x/*.png
-    for split_kind, base in [("train", root), ("test", root / "natural")]:
+    # TRAIN layout: root/<split>/images + root/<split>/alphas (docs/DATASET.md:68-87)
+    # EVAL layout:  root/images/<split> + root/alphas/<split> + root/masks/<split>
+    for split_kind, base in [("train", root), ("test", root)]:
         if split_kind == "train":
-            img_dir = root / "images" / "tr"
-            alpha_base = root / "alphas" / "tr"
+            img_dir = root / "tr" / "images"
+            alpha_base = root / "tr" / "alphas"
             mask_base = None
         else:
-            img_dir = base / "images"
-            alpha_base = base / "alphas"
-            mask_base = base / "masks"
+            img_dir = base / "images" / "natural"
+            alpha_base = base / "alphas" / "natural"
+            mask_base = base / "masks" / "natural"
         img_dir.mkdir(parents=True, exist_ok=True)
         for i in range(3):
             h, w = 96 + 32 * (i % 2), 128

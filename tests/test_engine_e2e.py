@@ -20,29 +20,29 @@ def _blob(h, w, cx, cy, r):
 def tiny_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("him_e2e")
     rs = np.random.RandomState(0)
-    # eval split
-    for base, img_dir, alpha_base, mask_base in [
-        (root / "natural", root / "natural/images", root / "natural/alphas", root / "natural/masks"),
-    ]:
-        img_dir.mkdir(parents=True)
-        for i in range(2):
-            h, w = 96, 128
-            Image.fromarray(rs.randint(0, 255, (h, w, 3), np.uint8)).save(img_dir / f"img{i}.jpg")
-            adir = alpha_base / f"img{i}"
-            adir.mkdir(parents=True)
-            mdir = mask_base / f"img{i}"
-            mdir.mkdir(parents=True)
-            for j in range(2):
-                a = _blob(h, w, 30 + 50 * j, 48, 25)
-                Image.fromarray(a).save(adir / f"{j:02d}.png")
-                Image.fromarray(((a > 127) * 255).astype(np.uint8)).save(mdir / f"{j:02d}.png")
-    # train split
-    timg = root / "images/tr"
+    # eval layout: root/images/<split> + root/alphas/<split> + root/masks/<split>
+    img_dir = root / "images/natural"
+    alpha_base = root / "alphas/natural"
+    mask_base = root / "masks/natural"
+    img_dir.mkdir(parents=True)
+    for i in range(2):
+        h, w = 96, 128
+        Image.fromarray(rs.randint(0, 255, (h, w, 3), np.uint8)).save(img_dir / f"img{i}.jpg")
+        adir = alpha_base / f"img{i}"
+        adir.mkdir(parents=True)
+        mdir = mask_base / f"img{i}"
+        mdir.mkdir(parents=True)
+        for j in range(2):
+            a = _blob(h, w, 30 + 50 * j, 48, 25)
+            Image.fromarray(a).save(adir / f"{j:02d}.png")
+            Image.fromarray(((a > 127) * 255).astype(np.uint8)).save(mdir / f"{j:02d}.png")
+    # train layout: root/<split>/images + root/<split>/alphas
+    timg = root / "tr/images"
     timg.mkdir(parents=True)
     for i in range(4):
         h, w = 96, 128
         Image.fromarray(rs.randint(0, 255, (h, w, 3), np.uint8)).save(timg / f"t{i}.jpg")
-        adir = root / "alphas/tr" / f"t{i}"
+        adir = root / "tr/alphas" / f"t{i}"
         adir.mkdir(parents=True)
         for j in range(2):
             Image.fromarray(_blob(h, w, 30 + 50 * j, 48, 25)).save(adir / f"{j:02d}.png")
