@@ -30,9 +30,12 @@ def main():
     cfg = _image_model_cfg()
     model = build_model(cfg.model)
 
+    from maggie_tpu.utils.checkpoint import fold_spectral_norm
+
     h, w, n_i = 576, 1024, 3
     batch = _make_batch(1, 1, n_i, h, w, seed=0)
     variables = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    variables = fold_spectral_norm(variables)
 
     # NOTE: on the tunneled axon platform block_until_ready does NOT block; force a
     # host materialization of a scalar to sync, and chain iterations through a data

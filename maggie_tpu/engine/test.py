@@ -266,7 +266,8 @@ def test(cfg, variables=None):
     model = build_model(cfg.model)
 
     if variables is None:
-        variables = load_model_weights(model, cfg)
+        from ..utils.checkpoint import fold_spectral_norm
+        variables = fold_spectral_norm(load_model_weights(model, cfg))
 
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(variables["params"]))
     logger.info(f"Number of parameters: {n_params}")

@@ -124,7 +124,7 @@ def train(cfg, use_wandb: bool | None = None):
     if mesh is not None:
         state = replicate(state, mesh)
 
-    train_step = make_train_step(model, tx)
+    train_step = make_train_step(model, tx, remat=bool(cfg.model.get("remat", False)))
     batch_time = AverageMeter("batch_time")
     data_time = AverageMeter("data_time")
     log_metrics: dict[str, AverageMeter] = {}
@@ -183,6 +183,19 @@ def train(cfg, use_wandb: bool | None = None):
                           {"train/lr": lr, "train/iter": it})
 
         batch_time.update(time.time() - end_time)
+
+        if it % cfg.train.vis_iter == 0 and pid == 0:
+            # visualization panel (reference wandb_log_image, train.py:286-291):
+            # an extra eval-mode forward of the current params on this batch
+            try:
+                from .vis import save_train_visualization
+                eval_batch = {k: v for k, v in dbatch.items() if k != "transition"}
+                out = model.apply(state.variables(), eval_batch, train=False)
+                path = save_train_visualization(dbatch, out, it, cfg.output_dir)
+                if wandb is not None:
+                    wandb.log({"train/vis": wandb.Image(path)}, commit=False)
+            except Exception as exc:  # vis must never kill training (ref wraps in try)
+                logger.warning(f"visualization failed at iter {it}: {exc}")
 
         if it % cfg.train.val_iter == 0:
             logger.info("Start validation...")

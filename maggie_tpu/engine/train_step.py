@@ -50,11 +50,13 @@ def create_train_state(model, tx: optax.GradientTransformation, init_batch: dict
     )
 
 
-def make_train_step(model, tx: optax.GradientTransformation) -> Callable:
+def make_train_step(model, tx: optax.GradientTransformation, remat: bool = False) -> Callable:
     """Returns train_step(state, batch, rng, **static flags) -> (state, loss_dict).
 
     Static flags (each combination compiles once):
       use_mask_atten, use_gt_guidance, use_prm_weights, atten_loss_enabled.
+    With ``remat`` the forward is rematerialized during backward (activations are
+    not stored) — the TPU counterpart of trading FLOPs for HBM on large crops.
     """
 
     @functools.partial(jax.jit, static_argnames=(
@@ -66,8 +68,8 @@ def make_train_step(model, tx: optax.GradientTransformation) -> Callable:
                    atten_loss_enabled: bool = True):
         k_unknown, k_dropout = jax.random.split(jax.random.fold_in(rng, state.step))
 
-        def loss_fn(params):
-            (out, loss_dict), mutated = model.apply(
+        def forward(params):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats, "spectral": state.spectral},
                 batch, train=True, update_sn=True,
                 use_mask_atten=use_mask_atten,
@@ -76,6 +78,12 @@ def make_train_step(model, tx: optax.GradientTransformation) -> Callable:
                 atten_loss_enabled=atten_loss_enabled,
                 rngs={"unknown": k_unknown, "dropout": k_dropout},
                 mutable=["batch_stats", "spectral"])
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            (out, loss_dict), mutated = forward(params)
             return loss_dict["total"], (loss_dict, mutated)
 
         (_, (loss_dict, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

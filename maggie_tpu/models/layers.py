@@ -54,25 +54,27 @@ class SNConv(nn.Module):
         kh, kw = self.kernel_size
         in_ch = x.shape[-1]
         kernel = self.param("weight_bar", self.kernel_init, (kh, kw, in_ch, self.features))
-        # torch layout for the power iteration: (O, I, kh, kw).reshape(O, -1)
-        w_mat = jnp.transpose(kernel, (3, 2, 0, 1)).reshape(self.features, -1)
-        height, width = w_mat.shape
-
-        u_var = self.variable(
-            "spectral", "u",
-            lambda: _l2normalize(jax.random.normal(self.make_rng("params"), (height,))))
-        v_var = self.variable(
-            "spectral", "v",
-            lambda: _l2normalize(jax.random.normal(self.make_rng("params"), (width,))))
-        u, v = u_var.value, v_var.value
-        if update_sn and not self.is_initializing():
-            w32 = w_mat.astype(jnp.float32)
-            v = _l2normalize(w32.T @ u)
-            u = _l2normalize(w32 @ v)
-            u_var.value = u
-            v_var.value = v
-        sigma = u @ (w_mat.astype(jnp.float32) @ v)
-        kernel = (kernel / sigma.astype(kernel.dtype)).astype(x.dtype)
+        if self.is_initializing() or self.has_variable("spectral", "u"):
+            # torch layout for the power iteration: (O, I, kh, kw).reshape(O, -1)
+            w_mat = jnp.transpose(kernel, (3, 2, 0, 1)).reshape(self.features, -1)
+            height, width = w_mat.shape
+            u_var = self.variable(
+                "spectral", "u",
+                lambda: _l2normalize(jax.random.normal(self.make_rng("params"), (height,))))
+            v_var = self.variable(
+                "spectral", "v",
+                lambda: _l2normalize(jax.random.normal(self.make_rng("params"), (width,))))
+            u, v = u_var.value, v_var.value
+            if update_sn and not self.is_initializing():
+                w32 = w_mat.astype(jnp.float32)
+                v = _l2normalize(w32.T @ u)
+                u = _l2normalize(w32 @ v)
+                u_var.value = u
+                v_var.value = v
+            sigma = u @ (w_mat.astype(jnp.float32) @ v)
+            kernel = kernel / sigma.astype(kernel.dtype)
+        # else: spectral collection folded into weight_bar (fold_spectral_norm)
+        kernel = kernel.astype(x.dtype)
 
         y = jax.lax.conv_general_dilated(
             x, kernel,
@@ -103,26 +105,32 @@ class SNConvTranspose(nn.Module):
         # stored in torch ConvTranspose layout (I, O) on the channel dims of HWIO-like
         # buffer: we keep HWIO with I=in, O=out and flip spatially at use time.
         kernel = self.param("weight_bar", self.kernel_init, (kh, kw, in_ch, self.features))
-        # torch ConvTranspose2d weight is (I, O, kh, kw); power-iterate over (I, O*kh*kw)
-        w_mat = jnp.transpose(kernel, (2, 3, 0, 1)).reshape(in_ch, -1)
-        height, width = w_mat.shape
-        u_var = self.variable(
-            "spectral", "u",
-            lambda: _l2normalize(jax.random.normal(self.make_rng("params"), (height,))))
-        v_var = self.variable(
-            "spectral", "v",
-            lambda: _l2normalize(jax.random.normal(self.make_rng("params"), (width,))))
-        u, v = u_var.value, v_var.value
-        if update_sn and not self.is_initializing():
-            w32 = w_mat.astype(jnp.float32)
-            v = _l2normalize(w32.T @ u)
-            u = _l2normalize(w32 @ v)
-            u_var.value = u
-            v_var.value = v
-        sigma = u @ (w_mat.astype(jnp.float32) @ v)
-        kernel = (kernel / sigma.astype(kernel.dtype)).astype(x.dtype)
+        if self.is_initializing() or self.has_variable("spectral", "u"):
+            # torch ConvTranspose2d weight is (I, O, kh, kw); power-iterate over (I, O*kh*kw)
+            w_mat = jnp.transpose(kernel, (2, 3, 0, 1)).reshape(in_ch, -1)
+            height, width = w_mat.shape
+            u_var = self.variable(
+                "spectral", "u",
+                lambda: _l2normalize(jax.random.normal(self.make_rng("params"), (height,))))
+            v_var = self.variable(
+                "spectral", "v",
+                lambda: _l2normalize(jax.random.normal(self.make_rng("params"), (width,))))
+            u, v = u_var.value, v_var.value
+            if update_sn and not self.is_initializing():
+                w32 = w_mat.astype(jnp.float32)
+                v = _l2normalize(w32.T @ u)
+                u = _l2normalize(w32 @ v)
+                u_var.value = u
+                v_var.value = v
+            sigma = u @ (w_mat.astype(jnp.float32) @ v)
+            kernel = kernel / sigma.astype(kernel.dtype)
+        # else: spectral collection folded into weight_bar (fold_spectral_norm)
+        kernel = kernel.astype(x.dtype)
 
-        # transposed conv == lhs-dilated correlation with the spatially-flipped kernel
+        # transposed conv == lhs-dilated correlation with the spatially-flipped
+        # kernel. (Measured on v5e: this lowering beats an explicit output-phase
+        # decomposition — the depth-to-space interleave there costs more than the
+        # dilated conv saves; see tools/microbench_invconv.py.)
         pad = kh - 1 - self.torch_padding
         y = jax.lax.conv_general_dilated(
             x, jnp.flip(kernel, axis=(0, 1)),

@@ -88,10 +88,13 @@ class SparseInverseConv(nn.Module):
         k = self.kernel_size
         kernel = self.param("weight", nn.initializers.xavier_uniform(),
                             (k, k, x_coarse.shape[-1], self.features))
-        pad_lo = k - 1 - 1  # torch padding=1
-        pad_hi = pad_lo + 1  # output_padding=1 restores the even size
         xm = x_coarse * mask_coarse.astype(x_coarse.dtype)
         kernel = kernel.astype(xm.dtype)
+        # lhs-dilated correlation with the flipped kernel (k=3 s=2 p=1 op=1 geometry).
+        # Measured on v5e this beats an output-phase decomposition whose
+        # depth-to-space interleave dominates; see tools/microbench_invconv.py.
+        pad_lo = k - 1 - 1  # torch padding=1
+        pad_hi = pad_lo + 1  # output_padding=1 restores the even size
         y = jax.lax.conv_general_dilated(
             xm, jnp.flip(kernel, axis=(0, 1)),
             window_strides=(1, 1),

@@ -111,6 +111,43 @@ def load_model_weights(model, cfg, seed: int = 0) -> dict:
                             f".npz (use tools/convert_torch_ckpt.py) or an orbax dir")
 
 
+def fold_spectral_norm(variables: dict) -> dict:
+    """Inference-time spectral-norm folding: weight_bar := weight_bar / sigma with
+    sigma = u @ W @ v, then DROP the 'spectral' collection — SN modules detect the
+    absence and skip the per-forward sigma math (the reference instead runs a
+    power iteration on every forward, even in eval: ``spectral_norm.py:73-80``)."""
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    if "spectral" not in variables:
+        return variables
+    params = flatten_dict(variables["params"])
+    spectral = flatten_dict(variables["spectral"])
+    out = dict(params)
+    for k, w in params.items():
+        if k[-1] != "weight_bar":
+            continue
+        ukey = k[:-1] + ("u",)
+        vkey = k[:-1] + ("v",)
+        if ukey not in spectral:
+            continue
+        # stay on device: host round-trips here would re-upload the whole tree
+        u = jnp.asarray(spectral[ukey], jnp.float32)
+        v = jnp.asarray(spectral[vkey], jnp.float32)
+        w_j = jnp.asarray(w, jnp.float32)
+        # reshape consistent with the stored u length (covers both conv layouts)
+        if u.shape[0] == w_j.shape[-1]:  # SNConv: (kh,kw,I,O) -> (O, I*kh*kw)
+            w_mat = jnp.transpose(w_j, (3, 2, 0, 1)).reshape(u.shape[0], -1)
+        else:  # SNConvTranspose: (kh,kw,I,O) -> (I, O*kh*kw)
+            w_mat = jnp.transpose(w_j, (2, 3, 0, 1)).reshape(u.shape[0], -1)
+        sigma = u @ (w_mat @ v)
+        out[k] = (w_j / sigma).astype(w.dtype)
+    folded = dict(variables)
+    folded["params"] = unflatten_dict(out)
+    folded.pop("spectral")
+    return folded
+
+
 def save_variables_npz(path: str, variables: dict) -> None:
     from flax.traverse_util import flatten_dict
     out = {}

@@ -1,0 +1,24 @@
+"""Pallas compute_unknown kernel (interpret mode on CPU) vs the XLA path and cv2."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+
+from maggie_tpu.ops.morphology import compute_unknown
+from maggie_tpu.ops.pallas import compute_unknown_pallas
+
+
+def test_pallas_matches_xla_and_cv2():
+    rs = np.random.RandomState(0)
+    alpha = rs.rand(3, 2, 64, 96).astype(np.float32)
+    alpha[alpha < 0.3] = 0.0
+    alpha[alpha > 0.7] = 1.0
+    for k_size in (30, 27, 15):
+        xla = np.asarray(compute_unknown(jnp.asarray(alpha), k_size=k_size, is_train=False))
+        pal = np.asarray(compute_unknown_pallas(jnp.asarray(alpha), k_size=k_size, interpret=True))
+        np.testing.assert_array_equal(pal, xla)
+        width = k_size // 2
+        unc = ((alpha > 1 / 255) & (alpha < 254 / 255)).astype(np.uint8)
+        ref = np.stack([cv2.dilate(m, cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (width, width)))
+                        for m in unc.reshape(-1, 64, 96)]).reshape(alpha.shape)
+        np.testing.assert_array_equal(pal.astype(np.uint8), ref)

@@ -24,7 +24,7 @@ def timed(fn, *args, iters=10, name=""):
         c = f(c, *args)
     float(c)
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name:42s} {dt*1000:8.2f} ms")
+    print(f"{name:42s} {dt*1000:8.2f} ms", flush=True)
     return dt
 
 
@@ -75,14 +75,11 @@ def main():
 
     timeit(raw, x, name="raw conv stack (same shapes)")
 
-    # shortcut branches alone (full/half-res small-channel convs)
-    def shortcuts_only(v, x):
-        bound = enc.bind(v)
-        bb = bound.backbone
-        f = bb.shortcut_0(x[..., :6])
-        return f
-
-    timeit(shortcuts_only, variables, x, name="shortcut_0 (full-res 6->32->32)")
+    from maggie_tpu.models.encoder import ShortcutBlock
+    sb = ShortcutBlock(32)
+    sbv = sb.init({"params": jax.random.PRNGKey(2)}, x[..., :6])
+    timeit(lambda v, z: sb.apply(v, z), sbv, x[..., :6],
+           name="shortcut_0 (full-res 6->32->32)")
 
 
 if __name__ == "__main__":
