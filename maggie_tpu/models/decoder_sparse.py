@@ -61,6 +61,9 @@ class ResShortCutInstMattSpconvDec(nn.Module):
     warmup_detail_iter: int = 3000
     detail_mask_dropout: float = 0.2
     large_kernel: bool = False
+    # fixed-capacity block-sparse fast path (eval only; 'oracle' = dense-masked)
+    sparse_mode: str = "oracle"
+    block_cap_frac: float = 0.5
 
     def setup(self):
         k = 5 if self.large_kernel else 3
@@ -173,6 +176,101 @@ class ResShortCutInstMattSpconvDec(nn.Module):
         return (x_os4.reshape(B, n_i, H // 4, W // 4),
                 x_os1.reshape(B, n_i, H, W))
 
+    def predict_details_block(self, os8_feat, roi_masks, queries, fea1, fea2, fea3):
+        """Fixed-capacity block-sparse form of ``predict_details`` (eval only).
+
+        One block grid (64 os1 = 32 os2 = 16 os4 = 8 os8 pixels) is selected by
+        active-mask block scores and drives all three rungs; each rung gathers
+        haloed patches (cross-block halos come from the previous rung's dense
+        scatter buffer), runs the same modules on the (cap, p, p, C) stack, and
+        scatters exact core regions back. With capacity >= #active blocks this is
+        numerically identical to the oracle; overflow drops the least-active
+        blocks (alpha falls back to the os8 prediction there — the analogue of
+        the reference's pixel cap).
+        """
+        from ..ops.blocksparse import gather_patches, scatter_blocks, select_blocks
+
+        B, n_i, H, W = roi_masks.shape
+        N = B * n_i
+        lr = lambda z: nn.leaky_relu(z, 0.2)
+        dt = os8_feat.dtype
+
+        m1 = roi_masks.reshape(N, H, W, 1).astype(jnp.float32)
+        m1_, m2, m4, m8 = active_pyramid(m1)
+
+        B1 = 64  # os1 block
+        nb = (H // B1) * (W // B1)
+        cap = max(int(round(self.block_cap_frac * N * nb)), 1)
+        idx_n, idx_by, idx_bx, valid = select_blocks(m8[..., 0], B1 // 8, cap)
+        img_n = idx_n // n_i  # per-image skip features index
+
+        # dense per-instance os8 features (cheap at os8)
+        x8 = jnp.broadcast_to(os8_feat[:, None], (B, n_i) + os8_feat.shape[1:])
+        x8 = x8.reshape(N, *os8_feat.shape[1:])
+        g = queries.reshape(N, 1, 1, queries.shape[-1])
+        x8 = self.inst_spec_layer(x8 * g, deterministic=True) * m8
+
+        # ---- rung 1: os8 -> os4 (core 16, os4 halo 4) ----
+        x8p = gather_patches(x8, idx_n, idx_by, idx_bx, 8, 3)          # (cap,14,14,C)
+        m8p = gather_patches(m8, idx_n, idx_by, idx_bx, 8, 3)
+        m4p6 = gather_patches(m4, idx_n, idx_by, idx_bx, 16, 6)        # (cap,28,28,1)
+        z = self.l3_inv(x8p, m8p, m4p6)                                # (cap,28,28,64)
+        z = z[:, 2:26, 2:26]                                           # os4 halo 4
+        m4p = m4p6[:, 2:26, 2:26]
+        z = lr(self.l3_bn(z, m4p, False))
+        z = self.l3_subm(z, m4p)
+        f3p = gather_patches(fea3, img_n, idx_by, idx_bx, 16, 4) * m4p.astype(dt)
+        cat = jnp.concatenate([f3p, z], axis=-1)
+        gate = self.guide_conv1(cat, m4p)
+        gate = lr(self.guide_bn(gate, m4p, False))
+        gate = nn.sigmoid(self.guide_conv2(gate, m4p))
+        z = f3p * gate * m4p.astype(dt)
+        z = self.l3s_bn(nn.relu(self.l3s_conv(z, m4p)), m4p, False)
+        h4 = self.os4_conv1(z, m4p)
+        h4 = lr(self.os4_bn(h4, m4p, False))
+        h4 = self.os4_conv2(h4, m4p)
+        h4 = h4 * m4p.astype(dt) + (-99.0) * (1.0 - m4p.astype(dt))
+        x_os4 = scatter_blocks(h4[:, 4:20, 4:20], idx_n, idx_by, idx_bx, valid,
+                               (N, H // 4, W // 4, 1), fill=-99.0)
+        x4_dense = scatter_blocks(z[:, 4:20, 4:20], idx_n, idx_by, idx_bx, valid,
+                                  (N, H // 4, W // 4, z.shape[-1]), fill=0.0)
+
+        # ---- rung 2: os4 -> os2 (core 32, no spatial convs after inverse) ----
+        x4p = gather_patches(x4_dense, idx_n, idx_by, idx_bx, 16, 1)   # (cap,18,18,64)
+        m4p1 = gather_patches(m4, idx_n, idx_by, idx_bx, 16, 1)
+        m2p2 = gather_patches(m2, idx_n, idx_by, idx_bx, 32, 2)        # (cap,36,36,1)
+        z = self.l4_inv(x4p, m4p1, m2p2)                               # (cap,36,36,32)
+        m2p = m2p2[:, 2:34, 2:34]
+        z = lr(self.l4_bn(z, m2p2, False))[:, 2:34, 2:34]
+        z = self.l4_subm(z, m2p)
+        f2p = gather_patches(fea2, img_n, idx_by, idx_bx, 32, 0) * m2p.astype(dt)
+        z = jnp.concatenate([f2p, z], axis=-1)
+        z = self.l4s_bn(nn.relu(self.l4s_conv(z, m2p)), m2p, False)
+        x2_dense = scatter_blocks(z, idx_n, idx_by, idx_bx, valid,
+                                  (N, H // 2, W // 2, z.shape[-1]), fill=0.0)
+
+        # ---- rung 3: os2 -> os1 (core 64, os1 halo 3) ----
+        x2p = gather_patches(x2_dense, idx_n, idx_by, idx_bx, 32, 2)   # (cap,36,36,32)
+        m2p2b = gather_patches(m2, idx_n, idx_by, idx_bx, 32, 2)
+        m1p4 = gather_patches(m1, idx_n, idx_by, idx_bx, 64, 4)        # (cap,72,72,1)
+        z = self.l5_inv(x2p, m2p2b, m1p4)                              # (cap,72,72,32)
+        z = z[:, 1:71, 1:71]                                           # os1 halo 3
+        m1p = m1p4[:, 1:71, 1:71]
+        z = lr(self.l5_bn(z, m1p, False))
+        z = self.l5_subm(z, m1p)
+        f1p = gather_patches(fea1, img_n, idx_by, idx_bx, 64, 3) * m1p.astype(dt)
+        z = jnp.concatenate([f1p, z], axis=-1)
+        z = self.l5s_bn(nn.relu(self.l5s_conv(z, m1p)), m1p, False)
+        h1 = self.os1_conv1(z, m1p)
+        h1 = lr(self.os1_bn(h1, m1p, False))
+        h1 = self.os1_conv2(h1, m1p)
+        h1 = h1 * m1p.astype(dt) + (-99.0) * (1.0 - m1p.astype(dt))
+        x_os1 = scatter_blocks(h1[:, 3:67, 3:67], idx_n, idx_by, idx_bx, valid,
+                               (N, H, W, 1), fill=-99.0)
+
+        return (x_os4[..., 0].reshape(B, n_i, H // 4, W // 4),
+                x_os1[..., 0].reshape(B, n_i, H, W))
+
     def fuse(self, alpha_os1, alpha_os4, alpha_os8, detail_mask, train, rng4=None, rng1=None):
         """PRM restricted to the detail mask (reference ``fuse``, :272-290)."""
         alpha = alpha_os8
@@ -254,8 +352,12 @@ class ResShortCutInstMattSpconvDec(nn.Module):
         q = jnp.broadcast_to(queries[:, None], (b, n_f) + queries.shape[1:])
         q = q.reshape(b * n_f, *queries.shape[1:])[:, :x_os8.shape[1]]
 
-        x_os4_log, x_os1_log = self.predict_details(
-            feat8, unknown_os8, q, fea1, fea2, fea3, train)
+        if self.sparse_mode == "block" and not train:
+            x_os4_log, x_os1_log = self.predict_details_block(
+                feat8, unknown_os8, q, fea1, fea2, fea3)
+        else:
+            x_os4_log, x_os1_log = self.predict_details(
+                feat8, unknown_os8, q, fea1, fea2, fea3, train)
         x_os4 = resize_bilinear(x_os4_log, (h, w), align_corners=False)
         x_os4 = (jnp.tanh(x_os4) + 1.0) / 2.0
         x_os1 = (jnp.tanh(x_os1_log) + 1.0) / 2.0

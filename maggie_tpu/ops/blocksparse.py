@@ -1,0 +1,90 @@
+"""Fixed-capacity block-sparse machinery for the detail-refinement ladder.
+
+The reference gathers dynamic pixel lists with spconv (``torch.nonzero`` at
+``resnet_inst_matt_spconv.py:206``). The TPU form keeps shapes static:
+
+1. tile the (per-sample-per-instance) active mask into BLOCKS and score each
+   block by active-pixel count;
+2. ``top_k`` the scores into a FIXED-CAPACITY list of (sample, by, bx) block
+   indices (overflow drops the least-active blocks — the analogue of SparseMat's
+   1.6M-pixel cap, ``sparse_mat.py:67-69``);
+3. gather patches WITH HALO around each selected block from dense feature maps
+   (vmapped dynamic_slice = one fused gather);
+4. run dense convs on the (CAP, patch, patch, C) stack — MXU-friendly;
+5. scatter the exact core regions back to a dense buffer (disjoint blocks,
+   OOB-dropped padding entries).
+
+Selected blocks are identical across scales (os8/os4/os2/os1 views of the same
+spatial tile), so one selection drives the whole ladder.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def select_blocks(mask: jax.Array, block: int, cap: int):
+    """mask: (N, H, W) 0/1. Returns (idx_n, idx_by, idx_bx, valid) each (cap,).
+
+    Blocks are (block x block) tiles; scored by active count; top-cap selected.
+    ``valid`` marks real (score > 0) entries.
+    """
+    n, h, w = mask.shape
+    nby, nbx = h // block, w // block
+    scores = mask.reshape(n, nby, block, nbx, block).sum((2, 4))  # (N, nby, nbx)
+    flat = scores.reshape(-1)
+    k = min(cap, flat.shape[0])
+    top_scores, top_idx = jax.lax.top_k(flat, k)
+    if k < cap:  # pad up to the static capacity
+        top_scores = jnp.pad(top_scores, (0, cap - k))
+        top_idx = jnp.pad(top_idx, (0, cap - k))
+    valid = top_scores > 0
+    idx_n = top_idx // (nby * nbx)
+    rem = top_idx % (nby * nbx)
+    idx_by = rem // nbx
+    idx_bx = rem % nbx
+    return idx_n, idx_by, idx_bx, valid
+
+
+def gather_patches(feat: jax.Array, idx_n, idx_by, idx_bx, block: int, halo: int):
+    """feat: (N, H, W, C); returns (cap, block + 2*halo, block + 2*halo, C).
+
+    Patch p covers rows [by*block - halo, by*block + block + halo); the map is
+    zero-padded by halo so slices never clamp.
+    """
+    padded = jnp.pad(feat, ((0, 0), (halo, halo), (halo, halo), (0, 0)))
+    size = block + 2 * halo
+
+    def one(n, by, bx):
+        return jax.lax.dynamic_slice(
+            padded, (n, by * block, bx * block, 0),
+            (1, size, size, feat.shape[-1]))[0]
+
+    return jax.vmap(one)(idx_n, idx_by, idx_bx)
+
+
+def scatter_blocks(cores: jax.Array, idx_n, idx_by, idx_bx, valid,
+                   out_shape: tuple, fill: float = 0.0):
+    """cores: (cap, block, block, C) core regions; scatters into a dense
+    (N, H, W, C) buffer initialized to ``fill``. Invalid entries are dropped via
+    out-of-range indices (mode='drop'). Blocks are disjoint -> no races."""
+    n, h, w, c = out_shape
+    block = cores.shape[1]
+    out = jnp.full(out_shape, fill, cores.dtype)
+    big = jnp.int32(10 ** 8)
+    safe_n = jnp.where(valid, idx_n, big)
+    ys = (idx_by[:, None] * block + jnp.arange(block)[None, :])  # (cap, block)
+    xs = (idx_bx[:, None] * block + jnp.arange(block)[None, :])
+    out = out.at[safe_n[:, None, None],
+                 ys[:, :, None],
+                 xs[:, None, :], :].set(cores, mode="drop")
+    return out
+
+
+def scale_indices(idx_by, idx_bx, factor: int):
+    """Same blocks viewed at a coarser/finer scale share indices; only the block
+    size changes. Kept for clarity at call sites."""
+    return idx_by, idx_bx
