@@ -91,11 +91,36 @@ def _device_batch(batch: dict) -> dict:
 
 def eval_image(model, variables, val_loader, log_iter, val_error_dict,
                do_postprocessing=False, callback=None, **kwargs):
-    """Reference ``eval_image`` (test.py:99-165)."""
+    """Reference ``eval_image`` (test.py:99-165), software-pipelined: the next
+    batch's forward is dispatched to the device BEFORE the previous batch's output
+    is materialized on the host, so the device->host transfer and the host-side
+    metric computation overlap the device compute."""
     batch_time = AverageMeter("batch_time")
     data_time = AverageMeter("data_time")
     fwd = _make_forward(model, variables)
     end_time = time.time()
+
+    pending = None  # (i, output_dev, meta) awaiting host processing
+
+    def process(entry):
+        i, output, meta = entry
+        image_names, alpha_names, ti, trimap, alpha_gt, skip, t_fwd = meta
+        alpha = np.asarray(output["refined_masks"])  # sync point
+        batch_time.update(time.time() - t_fwd)
+        alpha = reverse_transform(alpha, ti)
+        alpha[alpha <= 1.0 / 255.0] = 0.0
+        alpha[alpha >= 254.0 / 255.0] = 1.0
+        if do_postprocessing:
+            alpha = postprocess(alpha)
+        current = compute_metrics(alpha[:, skip:], trimap[:, skip:],
+                                  alpha_gt[:, skip:], val_error_dict)
+        if i % log_iter == 0:
+            s = f"Validation: Iter {i}/{len(val_loader)}: "
+            s += ", ".join(f"{k} - {v:.4f}" for k, v in current.items())
+            s += f", batch_time: {batch_time.avg:.4f}, data_time: {data_time.avg:.4f}"
+            logger.info(s)
+        if callback:
+            callback(image_names, alpha_names, alpha, ti, output)
 
     for i, batch in enumerate(val_loader):
         data_time.update(time.time() - end_time)
@@ -110,29 +135,17 @@ def eval_image(model, variables, val_loader, log_iter, val_error_dict,
             continue
         dbatch = _device_batch(batch)
 
-        end_time = time.time()
-        output = fwd(dbatch)
-        alpha = np.asarray(output["refined_masks"])  # forces sync on tunneled TPU
-        batch_time.update(time.time() - end_time)
-
+        t_fwd = time.time()
+        output = fwd(dbatch)  # async dispatch
         ti = transform_info[0] if isinstance(transform_info, list) else transform_info
-        alpha = reverse_transform(alpha, ti)
-        alpha[alpha <= 1.0 / 255.0] = 0.0
-        alpha[alpha >= 254.0 / 255.0] = 1.0
-        if do_postprocessing:
-            alpha = postprocess(alpha)
-
-        current = compute_metrics(alpha[:, skip:], trimap[:, skip:], alpha_gt[:, skip:], val_error_dict)
-
-        if i % log_iter == 0:
-            s = f"Validation: Iter {i}/{len(val_loader)}: "
-            s += ", ".join(f"{k} - {v:.4f}" for k, v in current.items())
-            s += f", batch_time: {batch_time.avg:.4f}, data_time: {data_time.avg:.4f}"
-            logger.info(s)
-        if callback:
-            callback(image_names, alpha_names, alpha, ti, output)
+        meta = (image_names, alpha_names, ti, trimap, alpha_gt, skip, t_fwd)
+        if pending is not None:
+            process(pending)
+        pending = (i, output, meta)
         end_time = time.time()
 
+    if pending is not None:
+        process(pending)
     return batch_time.avg, data_time.avg
 
 

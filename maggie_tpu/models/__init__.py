@@ -55,6 +55,12 @@ def _dec_inst_matt_spconv_temp(args: dict) -> nn.Module:
         **{k: v for k, v in args.items() if k in known}, name="decoder_mod")
 
 
+def _dec_inst_matt_dense(args: dict) -> nn.Module:
+    from .decoder_inst_dense import ResShortCutInstMattDec
+    known = {f.name for f in ResShortCutInstMattDec.__dataclass_fields__.values()} - {"name", "parent"}
+    return ResShortCutInstMattDec(**{k: v for k, v in args.items() if k in known}, name="decoder_mod")
+
+
 def _dec_res_shortcut_fam_22(args: dict) -> nn.Module:
     from .decoder_fam import ResShortCutFAMDec
     known = {f.name for f in ResShortCutFAMDec.__dataclass_fields__.values()} - {"name", "parent"}
@@ -64,6 +70,7 @@ def _dec_res_shortcut_fam_22(args: dict) -> nn.Module:
 DECODERS: dict[str, Callable[[dict], nn.Module]] = {
     "res_shortcut_inst_matt_spconv_22": _dec_inst_matt_spconv,
     "res_shortcut_inst_matt_spconv_temp_22": _dec_inst_matt_spconv_temp,
+    "res_shortcut_inst_matt_22": _dec_inst_matt_dense,
     "res_shortcut_22": _dec_res_shortcut_22,
     "res_shortcut_fam_22": _dec_res_shortcut_fam_22,
 }

@@ -104,3 +104,20 @@ def test_tcvom_stacked_eval():
     batch = _batch(n_f=3, n_i=2, with_gt=False)
     _, _, out = _init_and_eval(cfg, batch)
     assert out["refined_masks"].shape == (1, 3, 2, 64, 64)
+
+
+def test_inst_matt_dense_ablation_decoder():
+    cfg = load_config("configs/maggie_image.yaml")
+    cfg.model.decoder = "res_shortcut_inst_matt_22"
+    cfg.model.decoder_args.update(dict(atten_dim=32, final_channel=64, max_inst=3))
+    cfg.model.encoder_args.num_mask = 3
+    batch = _batch(n_i=2, with_gt=False)
+    model, variables, out = _init_and_eval(cfg, batch)
+    assert out["refined_masks"].shape == (1, 1, 2, 64, 64)
+    assert np.isfinite(np.asarray(out["refined_masks"])).all()
+
+    (o, loss), _ = model.apply(
+        variables, _batch(n_i=2), train=True,
+        rngs={"unknown": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats", "spectral"])
+    assert np.isfinite(float(loss["total"]))
