@@ -194,8 +194,12 @@ class ResShortCutInstMattSpconvTempDec(ResShortCutInstMattSpconvDec):
 
         q = jnp.broadcast_to(queries[:, None], (b, n_f) + queries.shape[1:])
         q = q.reshape(b * n_f, *queries.shape[1:])[:, :x_os8.shape[1]]
-        x_os4_log, x_os1_log = self.predict_details(
-            feat8, unknown_os8, q, fea1, fea2, fea3, train)
+        if self.sparse_mode == "block" and not train:
+            x_os4_log, x_os1_log = self.predict_details_block(
+                feat8, unknown_os8, q, fea1, fea2, fea3)
+        else:
+            x_os4_log, x_os1_log = self.predict_details(
+                feat8, unknown_os8, q, fea1, fea2, fea3, train)
         x_os4 = resize_bilinear(x_os4_log, (h, w), align_corners=False)
         x_os4 = (jnp.tanh(x_os4) + 1.0) / 2.0
         x_os1 = (jnp.tanh(x_os1_log) + 1.0) / 2.0

@@ -1,0 +1,61 @@
+"""Training-step throughput on the local chip: image config shapes (512x512 crops,
+max_inst=10), single-chip batch. Reports steps/sec and samples/sec."""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from __graft_entry__ import _image_model_cfg
+from maggie_tpu.engine.optim import build_optimizer
+from maggie_tpu.engine.train_step import create_train_state, make_train_step
+from maggie_tpu.models import build_model
+
+
+def main(batch_size=2, remat=True):
+    cfg = _image_model_cfg()
+    cfg.train.optimizer.name = "adamw"
+    cfg.train.optimizer.lr = 1.5e-4
+    cfg.train.scheduler.name = "cosine"
+    cfg.train.max_iter = 52000
+    cfg.train.scheduler.warmup_iters = 1000
+
+    model = build_model(cfg.model)
+    tx, _ = build_optimizer(cfg)
+
+    rs = np.random.RandomState(0)
+    h = w = 512
+    n_i = 10
+    batch = {
+        "image": jnp.asarray(rs.rand(batch_size, 1, h, w, 3).astype(np.float32)),
+        "mask": jnp.asarray((rs.rand(batch_size, 1, n_i, h // 8, w // 8) > 0.8).astype(np.float32)),
+        "alpha": jnp.asarray(rs.rand(batch_size, 1, n_i, h, w).astype(np.float32)),
+        "transition": jnp.asarray((rs.rand(batch_size, 1, n_i, h, w) > 0.8).astype(np.float32)),
+    }
+    state = create_train_state(model, tx, jax.tree_util.tree_map(lambda x: x[:1], batch),
+                               jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, remat=remat)
+    kw = dict(use_mask_atten=False, use_gt_guidance=False,
+              use_prm_weights=True, atten_loss_enabled=True)
+    state, ld = step(state, batch, jax.random.PRNGKey(1), **kw)
+    print("compile ok, loss:", float(ld["total"]), flush=True)
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        state, ld = step(state, batch, jax.random.PRNGKey(1), **kw)
+    float(ld["total"])  # sync
+    dt = (time.perf_counter() - t0) / iters
+    print(f"bs={batch_size} remat={remat}: {dt*1000:.1f} ms/step, "
+          f"{batch_size/dt:.2f} samples/sec", flush=True)
+
+
+if __name__ == "__main__":
+    main(batch_size=int(sys.argv[1]) if len(sys.argv) > 1 else 2,
+         remat=(sys.argv[2] != "0") if len(sys.argv) > 2 else True)
