@@ -41,6 +41,8 @@ def main() -> None:
     parser.add_argument("--config", required=True)
     parser.add_argument("--precision", type=int, default=32, choices=[16, 32])
     parser.add_argument("--eval-only", action="store_true")
+    parser.add_argument("--profile", default="", metavar="DIR",
+                        help="capture a jax.profiler trace of the run into DIR")
     parser.add_argument("--dryrun", action="store_true", help="build everything, run one step, exit")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args()
@@ -67,14 +69,25 @@ def main() -> None:
     except Exception:
         pass
 
-    if not args.eval_only:
-        with open(os.path.join(cfg.output_dir, "config.yaml"), "w") as f:
-            f.write(cfg.dump())
-        from maggie_tpu.engine.train import train
-        train(cfg)
-    else:
-        from maggie_tpu.engine.test import test
-        test(cfg)
+    import contextlib
+    prof_ctx = contextlib.nullcontext()
+    if args.profile:
+        # SURVEY.md §5: tracing/profiling hooks (the reference has none; it logs
+        # AverageMeter timings only). May be unsupported on tunneled dev platforms.
+        try:
+            prof_ctx = jax.profiler.trace(args.profile)
+        except Exception as exc:
+            logging.warning(f"profiler unavailable: {exc}")
+
+    with prof_ctx:
+        if not args.eval_only:
+            with open(os.path.join(cfg.output_dir, "config.yaml"), "w") as f:
+                f.write(cfg.dump())
+            from maggie_tpu.engine.train import train
+            train(cfg)
+        else:
+            from maggie_tpu.engine.test import test
+            test(cfg)
 
 
 if __name__ == "__main__":
