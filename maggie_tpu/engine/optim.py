@@ -15,7 +15,6 @@ train loop at ``engine/train.py:273-274``, not in the optimizer).
 
 from __future__ import annotations
 
-import math
 from typing import Any, Callable
 
 import optax

@@ -4,7 +4,7 @@ skip adds and three conv heads."""
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,6 @@ We replicate that contract at the engine level.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

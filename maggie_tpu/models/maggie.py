@@ -16,7 +16,7 @@ Interface conventions (TPU-native): images are (b, n_f, H, W, 3) float NHWC; mas
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -21,8 +21,6 @@ NHWC.
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

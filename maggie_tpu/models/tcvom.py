@@ -5,8 +5,6 @@ window-9 unfold attention GT loss (``compute_atten_loss``, ``:93-129``)."""
 
 from __future__ import annotations
 
-import copy
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -20,8 +20,6 @@ spatial tile), so one selection drives the whole ladder.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -10,10 +10,9 @@ required: a single process drives all local devices.
 
 from __future__ import annotations
 
-from typing import Any, Iterable
+from typing import Any
 
 import jax
-import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
