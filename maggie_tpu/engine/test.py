@@ -282,7 +282,8 @@ def test(cfg, variables=None):
         from ..utils.checkpoint import fold_spectral_norm
         variables = fold_spectral_norm(load_model_weights(model, cfg))
 
-    n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(variables["params"]))
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(variables.get("params", {})))
     logger.info(f"Number of parameters: {n_params}")
 
     val_error_dict = build_metric(cfg.test.metrics)

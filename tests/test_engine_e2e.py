@@ -101,3 +101,16 @@ def test_train_engine(tiny_root, tmp_path):
     cfg2.train.max_iter = 4
     state2 = run_train(cfg2, use_wandb=False)
     assert int(state2.step) == 4
+
+
+def test_dummy_arch_smoke(tiny_root, tmp_path):
+    """The reference's only mock: arch Dummy returns the input mask as the
+    prediction (arch/dummy.py:3-9), smoke-testing data/engine/metrics without a
+    model. With mask == binarized alpha the metrics must be near-perfect."""
+    from maggie_tpu.engine.test import test as run_test
+    cfg = _tiny_cfg(tiny_root, str(tmp_path / "out_dummy"))
+    cfg.model.arch = "Dummy"
+    results = run_test(cfg)
+    assert results["MAD"] < 20000  # binarized-mask-vs-soft-alpha gap only
+    assert results["MSE"] < 20000
+    assert np.isfinite(results["Grad"])

@@ -43,7 +43,6 @@ def main() -> None:
     parser.add_argument("--eval-only", action="store_true")
     parser.add_argument("--profile", default="", metavar="DIR",
                         help="capture a jax.profiler trace of the run into DIR")
-    parser.add_argument("--dryrun", action="store_true", help="build everything, run one step, exit")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args()
 
