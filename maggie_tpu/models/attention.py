@@ -38,11 +38,14 @@ class TorchMHA(nn.Module):
         e = self.embed_dim
         h = self.num_heads
         hd = e // h
-        in_w = self.param("in_proj_weight", nn.initializers.xavier_uniform(), (3 * e, e))
-        in_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
+        # params are f32 masters; compute follows the activation dtype (bf16 under
+        # mixed precision), with softmax/logits kept in f32 below
+        dt = query.dtype
+        in_w = self.param("in_proj_weight", nn.initializers.xavier_uniform(), (3 * e, e)).astype(dt)
+        in_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,)).astype(dt)
         q = query @ in_w[:e].T + in_b[:e]
-        k = key @ in_w[e:2 * e].T + in_b[e:2 * e]
-        v = value @ in_w[2 * e:].T + in_b[2 * e:]
+        k = key.astype(dt) @ in_w[e:2 * e].T + in_b[e:2 * e]
+        v = value.astype(dt) @ in_w[2 * e:].T + in_b[2 * e:]
 
         L, B, _ = q.shape
         S = k.shape[0]
@@ -70,8 +73,8 @@ class TorchMHA(nn.Module):
             attn = jnp.where(all_masked, 0.0, attn)
         out = jnp.einsum("bhls,bhsd->bhld", attn.astype(v.dtype), v)
         out = out.transpose(2, 0, 1, 3).reshape(L, B, e)
-        out_w = self.param("out_proj_weight", nn.initializers.xavier_uniform(), (e, e))
-        out_b = self.param("out_proj_bias", nn.initializers.zeros, (e,))
+        out_w = self.param("out_proj_weight", nn.initializers.xavier_uniform(), (e, e)).astype(dt)
+        out_b = self.param("out_proj_bias", nn.initializers.zeros, (e,)).astype(dt)
         out = out @ out_w.T + out_b
         return out, attn.mean(axis=1)  # torch averages attention over heads
 
@@ -79,7 +82,8 @@ class TorchMHA(nn.Module):
 class LayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.LayerNorm(epsilon=1e-5, name="ln")(x)
+        # f32 statistics, output back in the activation's compute dtype
+        return nn.LayerNorm(epsilon=1e-5, name="ln")(x.astype(jnp.float32)).astype(x.dtype)
 
 
 class SelfAttentionLayer(nn.Module):
@@ -136,11 +140,13 @@ class FFNLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt: jax.Array, deterministic: bool = True) -> jax.Array:
-        x = nn.Dense(self.dim_feedforward, name="linear1", kernel_init=nn.initializers.xavier_uniform())(tgt)
+        x = nn.Dense(self.dim_feedforward, name="linear1", dtype=tgt.dtype,
+                     kernel_init=nn.initializers.xavier_uniform())(tgt)
         x = nn.relu(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        x = nn.Dense(self.d_model, name="linear2", kernel_init=nn.initializers.xavier_uniform())(x)
+        x = nn.Dense(self.d_model, name="linear2", dtype=tgt.dtype,
+                     kernel_init=nn.initializers.xavier_uniform())(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         tgt = tgt + x

@@ -74,9 +74,9 @@ class ResShortCutDec(nn.Module):
         x_os1 = RefineHead(32, self.max_inst, k, name="refine_OS1")(x, train)
 
         h, w = x_os1.shape[1], x_os1.shape[2]
-        # heads are NHWC; alpha maps downstream are (N, n_i, H, W)
+        # heads are NHWC; alpha maps downstream are (N, n_i, H, W) and always f32
         def to_maps(t):
-            return jnp.transpose(t, (0, 3, 1, 2))
+            return jnp.transpose(t, (0, 3, 1, 2)).astype(jnp.float32)
 
         x_os8 = resize_bilinear(to_maps(x_os8), (h, w), align_corners=False)
         x_os4 = resize_bilinear(to_maps(x_os4), (h, w), align_corners=False)

@@ -81,7 +81,7 @@ class ResShortCutInstMattDec(nn.Module):
         z = nn.leaky_relu(z, 0.2) + fea1
         x_os1 = RefineHead(32, self.max_inst, k, name="refine_OS1")(z, train)
 
-        to_maps = lambda t: jnp.transpose(t, (0, 3, 1, 2))
+        to_maps = lambda t: jnp.transpose(t, (0, 3, 1, 2)).astype(jnp.float32)  # alphas stay f32
         x_os4 = resize_bilinear(to_maps(x_os4), (h, w), align_corners=False)
         x_os4 = (jnp.tanh(x_os4) + 1.0) / 2.0
         x_os1 = (jnp.tanh(to_maps(x_os1)) + 1.0) / 2.0

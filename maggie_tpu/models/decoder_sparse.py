@@ -122,14 +122,16 @@ class ResShortCutInstMattSpconvDec(nn.Module):
         """
         B, n_i, H, W = roi_masks.shape
         lr = lambda z: nn.leaky_relu(z, 0.2)
+        dt = os8_feat.dtype  # compute dtype (bf16 under AMP); masks are binary, exact
 
         m1 = roi_masks.reshape(B * n_i, H, W, 1).astype(jnp.float32)
         m1, m2, m4, m8 = active_pyramid(m1)
+        m1, m2, m4, m8 = (m.astype(dt) for m in (m1, m2, m4, m8))
 
         # instance-specific os8 features: broadcast per instance, gate by query
         x = jnp.broadcast_to(os8_feat[:, None], (B, n_i) + os8_feat.shape[1:])
         x = x.reshape(B * n_i, *os8_feat.shape[1:])
-        g = queries.reshape(B * n_i, 1, 1, queries.shape[-1])
+        g = queries.reshape(B * n_i, 1, 1, queries.shape[-1]).astype(dt)
         x = self.inst_spec_layer(x * g, deterministic=not train) * m8
 
         # os8 -> os4
@@ -207,8 +209,8 @@ class ResShortCutInstMattSpconvDec(nn.Module):
         # dense per-instance os8 features (cheap at os8)
         x8 = jnp.broadcast_to(os8_feat[:, None], (B, n_i) + os8_feat.shape[1:])
         x8 = x8.reshape(N, *os8_feat.shape[1:])
-        g = queries.reshape(N, 1, 1, queries.shape[-1])
-        x8 = self.inst_spec_layer(x8 * g, deterministic=True) * m8
+        g = queries.reshape(N, 1, 1, queries.shape[-1]).astype(dt)
+        x8 = self.inst_spec_layer(x8 * g, deterministic=True) * m8.astype(dt)
 
         # ---- rung 1: os8 -> os4 (core 16, os4 halo 4) ----
         x8p = gather_patches(x8, idx_n, idx_by, idx_bx, 8, 3)          # (cap,14,14,C)
@@ -358,9 +360,10 @@ class ResShortCutInstMattSpconvDec(nn.Module):
         else:
             x_os4_log, x_os1_log = self.predict_details(
                 feat8, unknown_os8, q, fea1, fea2, fea3, train)
-        x_os4 = resize_bilinear(x_os4_log, (h, w), align_corners=False)
+        # alphas are always f32, whatever the compute dtype of the ladder
+        x_os4 = resize_bilinear(x_os4_log.astype(jnp.float32), (h, w), align_corners=False)
         x_os4 = (jnp.tanh(x_os4) + 1.0) / 2.0
-        x_os1 = (jnp.tanh(x_os1_log) + 1.0) / 2.0
+        x_os1 = (jnp.tanh(x_os1_log.astype(jnp.float32)) + 1.0) / 2.0
 
         ret = {"alpha_os1": x_os1, "alpha_os4": x_os4, "alpha_os8": x_os8}
 

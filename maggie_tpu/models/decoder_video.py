@@ -67,7 +67,7 @@ class ResShortCutInstMattSpconvTempDec(ResShortCutInstMattSpconvDec):
 
         def diff(a, b_):
             d = self.diff_module(jnp.concatenate([a, b_], axis=-1), train, update_sn)
-            d = jnp.transpose(d, (0, 3, 1, 2))  # (b, 1, h8, w8)
+            d = jnp.transpose(d, (0, 3, 1, 2)).astype(jnp.float32)  # (b, 1, h8, w8); logits f32
             return resize_bilinear(d, (h, w), align_corners=False)
 
         fwd_diffs = []
@@ -198,9 +198,9 @@ class ResShortCutInstMattSpconvTempDec(ResShortCutInstMattSpconvDec):
         else:
             x_os4_log, x_os1_log = self.predict_details(
                 feat8, unknown_os8, q, fea1, fea2, fea3, train)
-        x_os4 = resize_bilinear(x_os4_log, (h, w), align_corners=False)
+        x_os4 = resize_bilinear(x_os4_log.astype(jnp.float32), (h, w), align_corners=False)
         x_os4 = (jnp.tanh(x_os4) + 1.0) / 2.0
-        x_os1 = (jnp.tanh(x_os1_log) + 1.0) / 2.0
+        x_os1 = (jnp.tanh(x_os1_log.astype(jnp.float32)) + 1.0) / 2.0
 
         ret = {"alpha_os1": x_os1, "alpha_os4": x_os4, "alpha_os8": x_os8}
         alpha_pred, weight_os4, weight_os1 = self.fuse(

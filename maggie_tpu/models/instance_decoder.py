@@ -54,6 +54,7 @@ class InstanceMatteDecoder(nn.Module):
         n_temp_embed = (self.attention_dim - spatial_feats * 2) if self.use_temp_pe else 0
         n_id_embed = self.attention_dim - n_temp_embed
 
+        dt = ori_feat.dtype  # compute dtype follows the activations (bf16 under AMP)
         feat = ori_feat
         if self.atten_stride > 1.0:
             s = int(self.atten_stride)
@@ -87,13 +88,14 @@ class InstanceMatteDecoder(nn.Module):
         id_feat_pos = jnp.transpose(id_feat_pos, (0, 4, 1, 2, 3))  # (b, c_id, n_f, h, w)
 
         if temp_feat_pos is not None:
-            feat_pos = jnp.concatenate([id_feat_pos, temp_feat_pos], axis=1)
+            feat_pos = jnp.concatenate([id_feat_pos, temp_feat_pos.astype(id_feat_pos.dtype)], axis=1)
         else:
             feat_pos = id_feat_pos  # (b, c_atten_or_id, n_f, h, w)
+        feat_pos = feat_pos.astype(dt)
 
         # ---- tokens ----
         query_feat = self.param("query_feat", nn.initializers.xavier_uniform(),
-                                (self.max_inst, self.attention_dim))
+                                (self.max_inst, self.attention_dim)).astype(dt)
         tokens = jnp.broadcast_to(query_feat[None], (b, self.max_inst, self.attention_dim))
 
         id_token_pos = id_table(jnp.arange(1, self.max_inst + 1))  # (max_inst, c_id)
@@ -125,7 +127,7 @@ class InstanceMatteDecoder(nn.Module):
 
         n_i = self.max_inst
         tokens = jnp.transpose(tokens, (1, 0, 2))       # (n_i, b, c)
-        token_pos_seq = jnp.transpose(token_pos, (1, 0, 2))  # (n_i, b, c)
+        token_pos_seq = jnp.transpose(token_pos, (1, 0, 2)).astype(dt)  # (n_i, b, c)
 
         # ---- attention masks ----
         atten_padding_m = None
@@ -235,7 +237,7 @@ class InstanceMatteDecoder(nn.Module):
         tk = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")(tk)
 
         fm_btchw = fm_out.reshape(b, n_f, h, w, self.output_dim)
-        output_mask = jnp.einsum("bqc,bthwc->btqhw", tk, fm_btchw,
+        output_mask = jnp.einsum("bqc,bthwc->btqhw", tk.astype(fm_btchw.dtype), fm_btchw,
                                  preferred_element_type=jnp.float32)
         output_mask = output_mask.reshape(b * n_f, n_i, h, w)
 

@@ -183,14 +183,19 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        return nn.BatchNorm(
+        # Mixed-precision contract: activations carry the compute dtype (bf16 under
+        # ``--precision 16``), but BN statistics/normalization run in f32 (the AMP
+        # float32-BN rule; reference autocast does the same) and the output is cast
+        # back so the chain stays in the compute dtype.
+        y = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
             scale_init=self.scale_init,
             bias_init=self.bias_init,
             name="bn",
-        )(x)
+        )(x.astype(jnp.float32))
+        return y.astype(x.dtype)
 
 
 def leaky_relu(x: jax.Array, slope: float = 0.2) -> jax.Array:
@@ -316,7 +321,8 @@ class MLP(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         for i in range(self.num_layers):
             feats = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
-            x = nn.Dense(feats, name=f"layer{i}", kernel_init=nn.initializers.xavier_uniform())(x)
+            x = nn.Dense(feats, name=f"layer{i}", dtype=x.dtype,
+                         kernel_init=nn.initializers.xavier_uniform())(x)
             if i < self.num_layers - 1:
                 x = nn.relu(x)
         return x

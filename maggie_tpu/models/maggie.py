@@ -48,6 +48,11 @@ class MaGGIe(nn.Module):
         self.loss_atten_w = mc["loss_atten_w"]
         self.reweight_os8 = mc["loss_reweight_os8"]
         self.loss_dtssd_w = mc["loss_dtSSD_w"]
+        # mixed precision (the reference's AMP fp16, engine/train.py:208,227-229 ->
+        # bf16 on TPU, no loss scaling): activations run in compute_dtype, params
+        # stay f32 masters, BN/LN/softmax/alphas/losses stay f32.
+        self.compute_dtype = (jnp.bfloat16 if str(mc.get("precision", "fp32")) in
+                              ("bf16", "bfloat16", "16") else jnp.float32)
 
     # ----- PRM fusion for decoders without their own (reference ``fuse``, :51-61) -----
     def fuse(self, pred: dict, train: bool, rng4=None, rng1=None):
@@ -78,7 +83,7 @@ class MaGGIe(nn.Module):
         b, n_f, h, w, _ = x.shape
         n_i = masks.shape[2]
 
-        x = x.reshape(b * n_f, h, w, 3)
+        x = x.reshape(b * n_f, h, w, 3).astype(self.compute_dtype)
         if masks.shape[-1] != w:
             masks = resize_nearest(masks.reshape(b * n_f, n_i, *masks.shape[-2:]), (h, w))
         else:
@@ -97,10 +102,10 @@ class MaGGIe(nn.Module):
                 if train:
                     masks = inp_masks
                     if alphas is not None:
-                        zpad = jnp.zeros((b, n_f, self.num_masks - n_i, h, w), x.dtype)
+                        zpad = jnp.zeros((b, n_f, self.num_masks - n_i, h, w), alphas.dtype)
                         alphas = jnp.concatenate([alphas, zpad], axis=2)
                     if trans_gt is not None:
-                        zpad = jnp.zeros((b, n_f, self.num_masks - n_i, h, w), x.dtype)
+                        zpad = jnp.zeros((b, n_f, self.num_masks - n_i, h, w), trans_gt.dtype)
                         trans_gt = jnp.concatenate([trans_gt, zpad], axis=2)
                     n_i = self.num_masks
             # NHWC channel stack [RGB | masks]
