@@ -244,6 +244,37 @@ class Converter:
         self.bn(src, f"{tkey}.refine_OS1.1", f"{dst}/refine_OS1_bn", masked=True)
         self.spconv_layer(src, f"{tkey}.refine_OS1.3", f"{dst}/refine_OS1_conv2")
 
+    def refine_head(self, src: dict, tkey: str, dst: str):
+        """Dense refine head: Sequential(conv.0, bn.1, lrelu, conv.3)
+        (reference decoder/resnet.py:74-91)."""
+        self.conv(src, f"{tkey}.0", f"{dst}/conv1")
+        self.bn(src, f"{tkey}.1", f"{dst}/bn")
+        self.conv(src, f"{tkey}.3", f"{dst}/conv2")
+
+    def mgm_decoder(self, src: dict, tkey: str, dst: str):
+        """ResShortCut_D_Dec (reference decoder/resnet.py:163-199, res_shortcut_22)."""
+        self.res_layer(src, f"{tkey}.layer1", f"{dst}/layer1", 2, enc=False)
+        self.res_layer(src, f"{tkey}.layer2", f"{dst}/layer2", 3, enc=False)
+        self.res_layer(src, f"{tkey}.layer3", f"{dst}/layer3", 3, enc=False)
+        self.res_layer(src, f"{tkey}.layer4", f"{dst}/layer4", 2, enc=False)
+        self.snconv(src, f"{tkey}.conv1", f"{dst}/conv1", transpose=convT_w)
+        self.bn(src, f"{tkey}.bn1", f"{dst}/bn1")
+        for h in ("OS8", "OS4", "OS1"):
+            self.refine_head(src, f"{tkey}.refine_{h}", f"{dst}/refine_{h}")
+
+    def inst_dense_decoder(self, src: dict, tkey: str, dst: str, n_block: int = 2):
+        """ResShortCut_InstMatt_Dec (reference decoder/resnet_inst_matt.py,
+        res_shortcut_inst_matt_22): IMD at os8 + dense heads at os4/os1."""
+        self.res_layer(src, f"{tkey}.layer1", f"{dst}/layer1", 2, enc=False)
+        self.res_layer(src, f"{tkey}.layer2", f"{dst}/layer2", 3, enc=False)
+        self.res_layer(src, f"{tkey}.layer3", f"{dst}/layer3", 3, enc=False)
+        self.res_layer(src, f"{tkey}.layer4", f"{dst}/layer4", 2, enc=False)
+        self.instance_matte_decoder(src, f"{tkey}.refine_OS8", f"{dst}/refine_OS8_mod", n_block)
+        self.snconv(src, f"{tkey}.conv1", f"{dst}/conv1", transpose=convT_w)
+        self.bn(src, f"{tkey}.bn1", f"{dst}/bn1")
+        for h in ("OS4", "OS1"):
+            self.refine_head(src, f"{tkey}.refine_{h}", f"{dst}/refine_{h}")
+
     def encoder(self, src: dict, tkey: str, dst: str, embed: bool):
         base = f"{dst}/backbone" if embed else dst
         if embed:
@@ -258,11 +289,17 @@ class Converter:
         for i in range(5):
             self.shortcut(src, f"{tkey}.shortcut.{i}", f"{base}/shortcut_{i}")
 
-    def maggie(self, src: dict, n_block: int = 2, video: bool = False):
+    def maggie(self, src: dict, n_block: int = 2, video: bool = False,
+               decoder: str = "res_shortcut_inst_matt_spconv_22"):
         embed = any(k.startswith("encoder.mask_embed_layer") for k in src)
         self.encoder(src, "encoder", "encoder_mod", embed)
         self.aspp(src, "aspp", "aspp_mod")
-        self.sparse_decoder(src, "decoder", "decoder_mod", n_block)
+        if decoder == "res_shortcut_22":
+            self.mgm_decoder(src, "decoder", "decoder_mod")
+        elif decoder == "res_shortcut_inst_matt_22":
+            self.inst_dense_decoder(src, "decoder", "decoder_mod", n_block)
+        else:
+            self.sparse_decoder(src, "decoder", "decoder_mod", n_block)
         if video:
             self.conv(src, "decoder.os8_temp_module.ih.0", "decoder_mod/os8_temp_module/ih_conv")
             self.conv(src, "decoder.os8_temp_module.hh.0", "decoder_mod/os8_temp_module/hh_conv")
@@ -273,10 +310,11 @@ class Converter:
             self.conv(src, "decoder.diff_module.6", "decoder_mod/diff_module/conv3")
 
 
-def convert(state_dict: dict, video: bool = False, n_block: int = 2) -> dict[str, np.ndarray]:
+def convert(state_dict: dict, video: bool = False, n_block: int = 2,
+            decoder: str = "res_shortcut_inst_matt_spconv_22") -> dict[str, np.ndarray]:
     src = {k: np.asarray(v) for k, v in state_dict.items()}
     c = Converter()
-    c.maggie(src, n_block=n_block, video=video)
+    c.maggie(src, n_block=n_block, video=video, decoder=decoder)
     leftover = sorted(src.keys())
     if leftover:
         print(f"WARNING: {len(leftover)} unconverted keys, e.g. {leftover[:10]}")
@@ -293,13 +331,14 @@ def main():
     ap.add_argument("output")
     ap.add_argument("--video", action="store_true")
     ap.add_argument("--n-block", type=int, default=2)
+    ap.add_argument("--decoder", default="res_shortcut_inst_matt_spconv_22")
     args = ap.parse_args()
     import torch
     sd = torch.load(args.input, map_location="cpu")
     if "state_dict" in sd:
         sd = sd["state_dict"]
     sd = {k: v.numpy() for k, v in sd.items()}
-    out = convert(sd, video=args.video, n_block=args.n_block)
+    out = convert(sd, video=args.video, n_block=args.n_block, decoder=args.decoder)
     np.savez(args.output, **out)
     print(f"Wrote {len(out)} arrays to {args.output}")
 
