@@ -198,6 +198,10 @@ def default_config() -> ConfigNode:
     c.test.postprocessing = True
     c.test.metrics = ["MAD", "MSE", "SAD", "Conn", "Grad", "dtSSD", "MESSDdt"]
     c.test.log_iter = 50
+    # pad eval batches to canonical (H, W, n_i) buckets so an M-HIM2K aspect-ratio
+    # sweep compiles a handful of shapes instead of one per image (TPU-only knob;
+    # the reference recompiles nothing, torch is shape-polymorphic)
+    c.test.shape_bucketing = True
 
     c.model = ConfigNode()
     c.model.weights = ""

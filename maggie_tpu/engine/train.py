@@ -177,6 +177,10 @@ def train(cfg, use_wandb: bool | None = None):
             s = f"Iter: {it}/{cfg.train.max_iter}"
             s += "".join(f", {k}: {v.avg:.4f}" for k, v in log_metrics.items())
             s += f", lr: {lr:.6f}, batch_time: {batch_time.avg:.4f}s, data_time: {data_time.avg:.4f}s"
+            from ..utils.memory import device_peak_memory_mb
+            peak_mb = device_peak_memory_mb()
+            if peak_mb is not None:  # reference parity: peak device MB per run
+                s += f", max_mem: {peak_mb:.0f}MB"
             logger.info(s)
             if wandb is not None and pid == 0:
                 wandb.log({f"train/{k}": v.val for k, v in log_metrics.items()} |

@@ -125,14 +125,16 @@ class Grad(Metric):
         self.fx, self.fy = _gauss_filters(1.4)
 
     def _grad_mag(self, img: np.ndarray) -> np.ndarray:
-        import torch
-        import torch.nn.functional as F
-        t = torch.from_numpy(img).float().unsqueeze(1)  # (N,1,H,W)
-        kx = torch.from_numpy(self.fx)[None, None]
-        ky = torch.from_numpy(self.fy)[None, None]
-        gx = F.conv2d(t, kx, padding=self.fx.shape[-1] // 2)
-        gy = F.conv2d(t, ky, padding=self.fy.shape[-1] // 2)
-        return torch.sqrt(gx ** 2 + gy ** 2).squeeze(1).numpy()
+        # cross-correlation with zero padding — cv2.filter2D(BORDER_CONSTANT)
+        # matches the reference's F.conv2d semantics exactly for odd kernels
+        # (metric.py:352-420) without a torch dependency in the shipped eval path
+        import cv2
+        img = img.astype(np.float32, copy=False)
+        gx = np.stack([cv2.filter2D(f, cv2.CV_32F, self.fx,
+                                    borderType=cv2.BORDER_CONSTANT) for f in img])
+        gy = np.stack([cv2.filter2D(f, cv2.CV_32F, self.fy,
+                                    borderType=cv2.BORDER_CONSTANT) for f in img])
+        return np.sqrt(gx ** 2 + gy ** 2)
 
     def compute_metric(self, pred, gt, mask, **kw):
         # batch-global min-max normalization (metric.py:397-398)
