@@ -192,9 +192,9 @@ class ResShortCutInstMattSpconvTempDec(ResShortCutInstMattSpconvDec):
 
         q = jnp.broadcast_to(queries[:, None], (b, n_f) + queries.shape[1:])
         q = q.reshape(b * n_f, *queries.shape[1:])[:, :x_os8.shape[1]]
-        if self.sparse_mode == "block" and not train:
+        if self.sparse_mode == "block":
             x_os4_log, x_os1_log = self.predict_details_block(
-                feat8, unknown_os8, q, fea1, fea2, fea3)
+                feat8, unknown_os8, q, fea1, fea2, fea3, train)
         else:
             x_os4_log, x_os1_log = self.predict_details(
                 feat8, unknown_os8, q, fea1, fea2, fea3, train)

@@ -110,13 +110,20 @@ class MaskedBatchNorm(nn.Module):
 
     torch semantics: eps 1e-5, momentum 0.1, biased variance for normalization,
     unbiased for the running estimate.
+
+    ``stats_mask``: optional stricter mask for the STATISTICS only (normalization
+    still covers every ``mask`` site). The block-sparse train path passes the
+    halo-free core windows here so each active site is counted exactly once —
+    making block-mode batch statistics GLOBAL (identical to the dense oracle when
+    no blocks overflow the capacity), the sparse analogue of SyncBN.
     """
 
     momentum: float = 0.1
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, mask: jax.Array, train: bool = False,
+                 stats_mask: jax.Array | None = None) -> jax.Array:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -124,7 +131,7 @@ class MaskedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
 
         if train:
-            m = mask.astype(jnp.float32)
+            m = (mask if stats_mask is None else stats_mask).astype(jnp.float32)
             count = jnp.maximum(jnp.sum(m), 1.0)
             xm = x.astype(jnp.float32) * m
             mean = jnp.sum(xm, axis=(0, 1, 2)) / count

@@ -73,6 +73,53 @@ def test_block_matches_oracle_at_full_capacity():
                                    atol=2e-5, rtol=1e-4), k
 
 
+def test_block_matches_oracle_in_train_mode():
+    """Train-mode block sparsity: loss, gradients and the mutated (global,
+    core-windowed) BN statistics must equal the dense oracle when capacity covers
+    every active block. inst_spec dropout is disabled — its mask shapes differ
+    between the dense map and the gathered patch stack, everything else is
+    deterministic given the same rngs."""
+    import optax
+    from maggie_tpu.engine.train_step import create_train_state, make_train_step
+
+    h, w, n_i = 128, 192, 2
+    batch = _blob_batch(h, w, n_i)
+    rs = np.random.RandomState(1)
+    alpha = rs.rand(1, 1, n_i, h, w).astype(np.float32)
+    batch["alpha"] = jnp.asarray(alpha)
+    batch["transition"] = jnp.asarray((rs.rand(1, 1, n_i, h, w) > 0.7).astype(np.float32))
+
+    results = {}
+    for mode in ("oracle", "block"):
+        cfg = _cfg(mode, cap_frac=1.0)
+        cfg.model.decoder_args.update(dict(inst_spec_dropout=0.0,
+                                           warmup_mask_atten_iter=0,
+                                           warmup_detail_iter=0))
+        model = build_model(cfg.model)
+        tx = optax.sgd(0.01)
+        state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+        step = make_train_step(model, tx)
+        state, loss = step(state, batch, jax.random.PRNGKey(3),
+                           use_mask_atten=False, use_gt_guidance=False,
+                           use_prm_weights=True, atten_loss_enabled=True)
+        results[mode] = (float(loss["total"]), state)
+
+    lo, so = results["oracle"]
+    lb, sb = results["block"]
+    np.testing.assert_allclose(lb, lo, rtol=1e-4, atol=1e-5)
+    # updated params (grads through gathers/scatters) and BN stats match
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(so.params), key=str),
+            sorted(jax.tree_util.tree_leaves_with_path(sb.params), key=str)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-5, err_msg=str(ka))
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(so.batch_stats), key=str),
+            sorted(jax.tree_util.tree_leaves_with_path(sb.batch_stats), key=str)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-5, err_msg=str(ka))
+
+
 def test_block_low_capacity_degrades_gracefully():
     batch = _blob_batch()
     cfg_b = _cfg("block", cap_frac=0.05)

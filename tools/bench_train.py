@@ -19,8 +19,12 @@ from maggie_tpu.engine.train_step import create_train_state, make_train_step
 from maggie_tpu.models import build_model
 
 
-def main(batch_size=2, remat=True):
+def main(batch_size=2, remat=True, sparse_mode="oracle", precision="fp32",
+         cap_frac=0.5):
     cfg = _image_model_cfg()
+    cfg.model.precision = precision
+    cfg.model.decoder_args.update(dict(sparse_mode=sparse_mode,
+                                       block_cap_frac=cap_frac))
     cfg.train.optimizer.name = "adamw"
     cfg.train.optimizer.lr = 1.5e-4
     cfg.train.scheduler.name = "cosine"
@@ -52,10 +56,16 @@ def main(batch_size=2, remat=True):
         state, ld = step(state, batch, jax.random.PRNGKey(1), **kw)
     float(ld["total"])  # sync
     dt = (time.perf_counter() - t0) / iters
-    print(f"bs={batch_size} remat={remat}: {dt*1000:.1f} ms/step, "
-          f"{batch_size/dt:.2f} samples/sec", flush=True)
+    from maggie_tpu.utils.memory import device_peak_memory_mb
+    peak = device_peak_memory_mb()
+    print(f"bs={batch_size} remat={remat} sparse={sparse_mode} prec={precision}: "
+          f"{dt*1000:.1f} ms/step, {batch_size/dt:.2f} samples/sec"
+          + (f", peak {peak:.0f}MB" if peak is not None else ""), flush=True)
 
 
 if __name__ == "__main__":
+    # bench_train.py [batch] [remat 0/1] [sparse oracle|block] [precision fp32|bf16]
     main(batch_size=int(sys.argv[1]) if len(sys.argv) > 1 else 2,
-         remat=(sys.argv[2] != "0") if len(sys.argv) > 2 else True)
+         remat=(sys.argv[2] != "0") if len(sys.argv) > 2 else True,
+         sparse_mode=sys.argv[3] if len(sys.argv) > 3 else "oracle",
+         precision=sys.argv[4] if len(sys.argv) > 4 else "fp32")
