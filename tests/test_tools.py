@@ -56,3 +56,34 @@ def test_extract_results(tmp_path):
     rows = (out / "results.csv").read_text().strip().split("\n")
     assert rows[0].startswith("split,masks,MAD")
     assert "27.17" in rows[1] and "r50_fpn_3x" in rows[1]
+
+
+def test_gen_mask(tmp_path):
+    """Offline guidance-mask generation: layout + area filter (ref
+    tools/gen_mask/image_demo_newbaselines.py:108-113, 175-180)."""
+    import cv2
+    root = tmp_path / "him"
+    (root / "images" / "natural").mkdir(parents=True)
+    adir = root / "alphas" / "natural" / "img0"
+    adir.mkdir(parents=True)
+    rs = np.random.RandomState(0)
+    cv2.imwrite(str(root / "images" / "natural" / "img0.jpg"),
+                (rs.rand(96, 128, 3) * 255).astype(np.uint8))
+    yy, xx = np.mgrid[0:96, 0:128]
+    for i, cx in enumerate([40, 90]):
+        a = np.clip((30 - np.sqrt((yy - 48) ** 2 + (xx - cx) ** 2)) / 6, 0, 1) * 255
+        cv2.imwrite(str(adir / ("%02d.png" % i)), a.astype(np.uint8))
+    tiny = np.zeros((96, 128), np.uint8)
+    tiny[:3, :3] = 255  # <2% area -> must be dropped
+    cv2.imwrite(str(adir / "02.png"), tiny)
+
+    r = subprocess.run(
+        [sys.executable, "tools/gen_mask/gen_mask.py", "--root", str(root),
+         "--name", "sim", "--subsets", "natural", "--variant", "full", "--seed", "0"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    out = root / "masks_sim" / "natural" / "img0"
+    files = sorted(os.listdir(out))
+    assert files == ["00.png", "01.png"]  # tiny instance filtered
+    m = np.array(Image.open(out / "00.png"))
+    assert set(np.unique(m)) <= {0, 255} and m.max() == 255
