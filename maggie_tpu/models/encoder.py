@@ -133,16 +133,19 @@ class ResMaskEmbedShortCutD(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False, update_sn: bool = False):
         inp = x[..., :3]
         if self.num_embed > 0:
-            masks = x[..., 3:]  # (N, H, W, n_m)
+            masks = x[..., 3:]  # (N, H, W, n_m), binary by contract
             n_m = masks.shape[-1]
             table = nn.Embed(self.num_mask + 1, self.num_embed,
                              embedding_init=nn.initializers.xavier_uniform(),
                              name="mask_embed_layer")
-            mask_ids = jnp.arange(1, n_m + 1)[None, None, None, :]
-            ids = (masks * mask_ids).astype(jnp.int32)  # (N, H, W, n_m)
-            emb = table(ids)  # (N, H, W, n_m, num_embed)
-            valid = (ids > 0).astype(jnp.float32)[..., None]
-            emb = (emb * valid).sum(axis=3) / (valid.sum(axis=3) + 1e-6)  # (N, H, W, num_embed)
+            # The reference gathers table[ids] with ids = mask_j * (j+1) and then
+            # masked-means over instances excluding id 0 (resnet.py:218-226). For
+            # binary masks that reduces to a LINEAR map — sum_j mask_j * table[j+1]
+            # over sum_j mask_j — one small matmul instead of a 5.9M-row gather
+            # (the gather alone was ~20 ms/frame at 576x1024 on v5e).
+            m = masks.astype(jnp.float32)
+            emb = jnp.einsum("nhwm,me->nhwe", m, table.embedding[1:n_m + 1])
+            emb = emb / (m.sum(axis=-1, keepdims=True) + 1e-6)  # (N, H, W, num_embed)
             inp = jnp.concatenate([inp, emb.astype(inp.dtype)], axis=-1)
         return ResShortCutD(self.layers, num_mask=self.num_embed,
                             late_downsample=self.late_downsample, name="backbone")(inp, train, update_sn)
