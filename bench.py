@@ -5,9 +5,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Condition mirrors the reference's eval setup (BASELINE.md): short side 576 padded to
 x64 (576x1024 here), batch 1, multi-instance (3), REALISTIC blob instances (so the
 uncertainty band — and hence the block-sparse detail ladder — sees representative
-sparsity rather than an all-unknown random field). The reference publishes no
-throughput numbers (SURVEY.md §6), so vs_baseline is reported against a recorded
-torch-reference estimate when available, else 1.0.
+sparsity rather than an all-unknown random field), bf16 activations (the TPU
+analogue of the reference's headline AMP fp16 eval, --precision 16; random-weight
+alpha drift vs f32 is 6.3e-4 mean, within the 1e-3 MAD budget).
+
+The reference publishes no throughput numbers (SURVEY.md §6, BASELINE.md), so
+vs_baseline is reported against this framework's recorded ROUND-1 measurement on
+the same chip/shape (17.40 frames/s, f32, block cap 0.5) — a real recorded
+baseline rather than a pretend torch number.
 """
 
 from __future__ import annotations
@@ -16,6 +21,8 @@ import json
 import time
 
 import numpy as np
+
+ROUND1_BASELINE_FPS = 17.40  # BENCH_r01.json, same chip/shape/condition (f32)
 
 
 def _blob_batch(h, w, n_i, seed=0):
@@ -49,6 +56,7 @@ def main():
     from __graft_entry__ import _image_model_cfg, _make_batch
 
     cfg = _image_model_cfg()
+    cfg.model.precision = "bf16"
     cfg.model.decoder_args.update(dict(sparse_mode="block", block_cap_frac=0.5))
     model = build_model(cfg.model)
 
@@ -86,7 +94,7 @@ def main():
         "metric": "maggie_image_eval_576p_3inst_frames_per_sec_per_chip",
         "value": round(fps, 4),
         "unit": "frames/sec/chip",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(fps / ROUND1_BASELINE_FPS, 4),
     }))
 
 

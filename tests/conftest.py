@@ -19,3 +19,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 assert jax.default_backend() == "cpu", f"tests must run on CPU, got {jax.default_backend()}"
+
+# Persistent compile cache: the expensive part of this suite is XLA compilation of
+# full-model fwd/bwd graphs on a 1-core host (~4 min for the train-mode parity
+# test alone). Cached compiles make reruns take seconds.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

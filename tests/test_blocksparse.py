@@ -73,6 +73,7 @@ def test_block_matches_oracle_at_full_capacity():
                                    atol=2e-5, rtol=1e-4), k
 
 
+@pytest.mark.slow
 def test_block_matches_oracle_in_train_mode():
     """Train-mode block sparsity: loss, gradients and the mutated (global,
     core-windowed) BN statistics must equal the dense oracle when capacity covers
