@@ -260,7 +260,7 @@ class ResShortCutInstMattSpconvDec(nn.Module):
 
         # ---- rung 2: os4 -> os2 (core 32, no spatial convs after inverse) ----
         x4p = gather_patches(x4_dense, idx_n, idx_by, idx_bx, 16, 1)   # (cap,18,18,64)
-        m4p1 = gather_patches(m4, idx_n, idx_by, idx_bx, 16, 1)
+        m4p1 = m4p6[:, 5:23, 5:23]  # halo-1 window of the halo-6 gather above
         m2p2 = gather_patches(m2, idx_n, idx_by, idx_bx, 32, 2)        # (cap,36,36,1)
         z = self.l4_inv(x4p, m4p1, m2p2)                               # (cap,36,36,32)
         m2p = m2p2[:, 2:34, 2:34]
@@ -275,9 +275,8 @@ class ResShortCutInstMattSpconvDec(nn.Module):
 
         # ---- rung 3: os2 -> os1 (core 64, os1 halo 3) ----
         x2p = gather_patches(x2_dense, idx_n, idx_by, idx_bx, 32, 2)   # (cap,36,36,32)
-        m2p2b = gather_patches(m2, idx_n, idx_by, idx_bx, 32, 2)
         m1p4 = gather_patches(m1, idx_n, idx_by, idx_bx, 64, 4)        # (cap,72,72,1)
-        z = self.l5_inv(x2p, m2p2b, m1p4)                              # (cap,72,72,32)
+        z = self.l5_inv(x2p, m2p2, m1p4)                               # (cap,72,72,32)
         z = z[:, 1:71, 1:71]                                           # os1 halo 3
         m1p = m1p4[:, 1:71, 1:71]
         s1 = stats(m1p, 70, 3, 67)

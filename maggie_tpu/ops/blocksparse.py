@@ -20,8 +20,26 @@ spatial tile), so one selection drives the whole ladder.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+# Patch-gather implementation: "auto" uses the Pallas DMA kernel on TPU backends
+# (serialized XLA gathers cost ~2.5 ms/frame for the os1 skip features alone),
+# the vmapped dynamic_slice elsewhere. "on"/"off" force a choice.
+PALLAS_GATHER = "auto"
+
+
+def _use_pallas_gather() -> bool:
+    if PALLAS_GATHER == "on":
+        return True
+    if PALLAS_GATHER == "off":
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover - backend probing never fails in practice
+        return False
 
 
 def select_blocks(mask: jax.Array, block: int, cap: int):
@@ -47,12 +65,7 @@ def select_blocks(mask: jax.Array, block: int, cap: int):
     return idx_n, idx_by, idx_bx, valid
 
 
-def gather_patches(feat: jax.Array, idx_n, idx_by, idx_bx, block: int, halo: int):
-    """feat: (N, H, W, C); returns (cap, block + 2*halo, block + 2*halo, C).
-
-    Patch p covers rows [by*block - halo, by*block + block + halo); the map is
-    zero-padded by halo so slices never clamp.
-    """
+def _gather_patches_xla(feat: jax.Array, idx_n, idx_by, idx_bx, block: int, halo: int):
     padded = jnp.pad(feat, ((0, 0), (halo, halo), (halo, halo), (0, 0)))
     size = block + 2 * halo
 
@@ -62,6 +75,45 @@ def gather_patches(feat: jax.Array, idx_n, idx_by, idx_bx, block: int, halo: int
             (1, size, size, feat.shape[-1]))[0]
 
     return jax.vmap(one)(idx_n, idx_by, idx_bx)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def gather_patches(feat: jax.Array, idx_n, idx_by, idx_bx, block: int, halo: int):
+    """feat: (N, H, W, C); returns (cap, block + 2*halo, block + 2*halo, C).
+
+    Patch p covers rows [by*block - halo, by*block + block + halo); the map is
+    zero-padded by halo so slices never clamp. Forward runs the Pallas DMA
+    kernel on TPU backends (see ``ops/pallas/gather.py``); backward is the XLA
+    scatter-add of patch cotangents (patches overlap by their halos, so
+    contributions accumulate).
+    """
+    if _use_pallas_gather():
+        from .pallas.gather import gather_patches_pallas, supports_pallas_gather
+        if supports_pallas_gather(feat.shape[-1], block):
+            return gather_patches_pallas(feat, idx_n, idx_by, idx_bx, block, halo)
+    return _gather_patches_xla(feat, idx_n, idx_by, idx_bx, block, halo)
+
+
+def _gather_patches_fwd(feat, idx_n, idx_by, idx_bx, block, halo):
+    out = gather_patches(feat, idx_n, idx_by, idx_bx, block, halo)
+    dtype_token = jnp.zeros((), feat.dtype)
+    return out, (feat.shape, dtype_token, idx_n, idx_by, idx_bx)
+
+
+def _gather_patches_bwd(block, halo, res, g):
+    shape, dtype_token, idx_n, idx_by, idx_bx = res
+    dtype = dtype_token.dtype
+    n, h, w, c = shape
+    size = block + 2 * halo
+    ys = idx_by[:, None] * block + jnp.arange(size)[None, :]   # (cap, size)
+    xs = idx_bx[:, None] * block + jnp.arange(size)[None, :]
+    padded = jnp.zeros((n, h + 2 * halo, w + 2 * halo, c), g.dtype)
+    padded = padded.at[idx_n[:, None, None], ys[:, :, None], xs[:, None, :], :].add(g)
+    dfeat = padded[:, halo:halo + h, halo:halo + w].astype(dtype)
+    return (dfeat, None, None, None)
+
+
+gather_patches.defvjp(_gather_patches_fwd, _gather_patches_bwd)
 
 
 def scatter_blocks(cores: jax.Array, idx_n, idx_by, idx_bx, valid,
