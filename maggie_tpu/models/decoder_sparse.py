@@ -65,6 +65,12 @@ class ResShortCutInstMattSpconvDec(nn.Module):
     sparse_mode: str = "oracle"
     block_cap_frac: float = 0.5
     inst_spec_dropout: float = 0.1  # reference FFNLayer dropout (:86-88)
+    # Eval-path rung 3 in phase space (ops/phase.py). Measured SLOWER on v5e
+    # (18.9 vs 15.4 ms/frame at the bench condition): the 4.2x FLOP overhead of
+    # dense phase-space 3x3 convs outweighs the lane-packing win — XLA already
+    # handles C=32 convs better than the naive 4x-waste model predicts. Kept as
+    # a tested, flag-gated alternative; default off.
+    phase_rung: bool = False
 
     def setup(self):
         k = 5 if self.large_kernel else 3
@@ -274,26 +280,101 @@ class ResShortCutInstMattSpconvDec(nn.Module):
                                   (N, H // 2, W // 2, z.shape[-1]), fill=0.0)
 
         # ---- rung 3: os2 -> os1 (core 64, os1 halo 3) ----
-        x2p = gather_patches(x2_dense, idx_n, idx_by, idx_bx, 32, 2)   # (cap,36,36,32)
-        m1p4 = gather_patches(m1, idx_n, idx_by, idx_bx, 64, 4)        # (cap,72,72,1)
-        z = self.l5_inv(x2p, m2p2, m1p4)                               # (cap,72,72,32)
-        z = z[:, 1:71, 1:71]                                           # os1 halo 3
-        m1p = m1p4[:, 1:71, 1:71]
-        s1 = stats(m1p, 70, 3, 67)
-        z = lr(self.l5_bn(z, m1p, train, stats_mask=s1))
-        z = self.l5_subm(z, m1p)
-        f1p = gather_patches(fea1, img_n, idx_by, idx_bx, 64, 3) * m1p.astype(dt)
-        z = jnp.concatenate([f1p, z], axis=-1)
-        z = self.l5s_bn(nn.relu(self.l5s_conv(z, m1p)), m1p, train, stats_mask=s1)
-        h1 = self.os1_conv1(z, m1p)
-        h1 = lr(self.os1_bn(h1, m1p, train, stats_mask=s1))
-        h1 = self.os1_conv2(h1, m1p)
-        h1 = h1 * m1p.astype(dt) + (-99.0) * (1.0 - m1p.astype(dt))
-        x_os1 = scatter_blocks(h1[:, 3:67, 3:67], idx_n, idx_by, idx_bx, valid,
-                               (N, H, W, 1), fill=-99.0)
+        if self.phase_rung and not train and not self.is_initializing():
+            x_os1 = self._rung3_phase(x2_dense, m2p2, m1, fea1, idx_n, img_n,
+                                      idx_by, idx_bx, valid, N, H, W, dt)
+        else:
+            x2p = gather_patches(x2_dense, idx_n, idx_by, idx_bx, 32, 2)  # (cap,36,36,32)
+            m1p4 = gather_patches(m1, idx_n, idx_by, idx_bx, 64, 4)      # (cap,72,72,1)
+            z = self.l5_inv(x2p, m2p2, m1p4)                             # (cap,72,72,32)
+            z = z[:, 1:71, 1:71]                                         # os1 halo 3
+            m1p = m1p4[:, 1:71, 1:71]
+            s1 = stats(m1p, 70, 3, 67)
+            z = lr(self.l5_bn(z, m1p, train, stats_mask=s1))
+            z = self.l5_subm(z, m1p)
+            f1p = gather_patches(fea1, img_n, idx_by, idx_bx, 64, 3) * m1p.astype(dt)
+            z = jnp.concatenate([f1p, z], axis=-1)
+            z = self.l5s_bn(nn.relu(self.l5s_conv(z, m1p)), m1p, train, stats_mask=s1)
+            h1 = self.os1_conv1(z, m1p)
+            h1 = lr(self.os1_bn(h1, m1p, train, stats_mask=s1))
+            h1 = self.os1_conv2(h1, m1p)
+            h1 = h1 * m1p.astype(dt) + (-99.0) * (1.0 - m1p.astype(dt))
+            x_os1 = scatter_blocks(h1[:, 3:67, 3:67], idx_n, idx_by, idx_bx, valid,
+                                   (N, H, W, 1), fill=-99.0)
 
         return (x_os4[..., 0].reshape(B, n_i, H // 4, W // 4),
                 x_os1[..., 0].reshape(B, n_i, H, W))
+
+    def _rung3_phase(self, x2_dense, m2p2, m1, fea1, idx_n, img_n, idx_by, idx_bx,
+                     valid, N, H, W, dt):
+        """Eval-path rung 3 in phase space (2x2 space-to-depth; ``ops/phase.py``).
+
+        Exact same math as the module path above — the os1 3x3 convs, the 1x1
+        conv and the inverse conv are re-expressed on phase-major 4C channels,
+        so every tensor packs the 128-lane tiles fully (the NHWC C=32 forms
+        waste 4x memory and under-fill the MXU). Window extents match the
+        module path (os1 halo 4 at the inverse conv, valid ring shrinking by
+        one per conv), so block cores are identical at full capacity — asserted
+        by tests/test_blocksparse.py.
+        """
+        from ..ops.blocksparse import gather_patches, scatter_blocks
+        from ..ops.phase import (conv3x3_phase_weights, conv_phase, d2s,
+                                 expand_mask, invconv_phase_weights, s2d,
+                                 tile_phase)
+
+        lr = lambda z: nn.leaky_relu(z, 0.2)
+        p1 = [(1, 1), (1, 1)]
+
+        def bn_affine(bn):
+            p = bn.variables["params"]
+            s = bn.variables["batch_stats"]
+            scale = p["scale"] * jax.lax.rsqrt(s["var"] + bn.epsilon)
+            return tile_phase(scale), tile_phase(p["bias"] - s["mean"] * scale)
+
+        def wof(mod):
+            return mod.variables["params"]["weight"]
+
+        def bof(mod):
+            return tile_phase(mod.variables["params"]["bias"])
+
+        x2p = gather_patches(x2_dense, idx_n, idx_by, idx_bx, 32, 2)   # (cap,36,36,32)
+        m1p = gather_patches(s2d(m1.astype(dt)), idx_n, idx_by, idx_bx, 32, 2)
+        f1p = gather_patches(s2d(fea1), img_n, idx_by, idx_bx, 32, 2)  # (cap,36,36,128)
+        mx = expand_mask(m1p, x2p.shape[-1])                           # (cap,36,36,128)
+        mxf = mx.astype(jnp.float32)
+
+        def bn_lr(z, bn):
+            s_, b_ = bn_affine(bn)
+            return lr((z.astype(jnp.float32) * s_ + b_) * mxf).astype(dt)
+
+        z = conv_phase(x2p * m2p2.astype(dt),
+                       invconv_phase_weights(wof(self.l5_inv)), [(0, 1), (0, 1)])
+        z = bn_lr(z * mx, self.l5_bn)
+        z = conv_phase(z, conv3x3_phase_weights(wof(self.l5_subm)), p1) * mx
+
+        # l5s 1x1 conv on concat([fea1, z]): per-phase block weights
+        w = wof(self.l5s_conv)                                          # (1,1,64,32)
+        c = w.shape[3]
+        wp = jnp.zeros((1, 1, 8 * c, 4 * c), w.dtype)
+        for ph in range(4):
+            wp = wp.at[0, 0, ph * c:(ph + 1) * c,
+                       ph * c:(ph + 1) * c].set(w[0, 0, :c])            # fea part
+            wp = wp.at[0, 0, 4 * c + ph * c:4 * c + (ph + 1) * c,
+                       ph * c:(ph + 1) * c].set(w[0, 0, c:])            # ladder part
+        cat = jnp.concatenate([f1p * mx, z], axis=-1)                  # (cap,36,36,256)
+        z = (conv_phase(cat, wp, [(0, 0), (0, 0)]) + bof(self.l5s_conv).astype(dt)) * mx
+        s_, b_ = bn_affine(self.l5s_bn)
+        z = ((nn.relu(z).astype(jnp.float32) * s_ + b_) * mxf).astype(dt)
+
+        h = conv_phase(z, conv3x3_phase_weights(wof(self.os1_conv1)), p1) * mx
+        h = bn_lr(h, self.os1_bn)
+        h = conv_phase(h, conv3x3_phase_weights(wof(self.os1_conv2)), p1)
+        h = (h + bof(self.os1_conv2).astype(dt)) * m1p
+        h = h + (-99.0) * (1.0 - m1p)                                  # (cap,36,36,4)
+
+        xph = scatter_blocks(h[:, 2:34, 2:34], idx_n, idx_by, idx_bx, valid,
+                             (N, H // 2, W // 2, 4), fill=-99.0)
+        return d2s(xph)                                                # (N,H,W,1)
 
     def fuse(self, alpha_os1, alpha_os4, alpha_os8, detail_mask, train, rng4=None, rng1=None):
         """PRM restricted to the detail mask (reference ``fuse``, :272-290)."""
