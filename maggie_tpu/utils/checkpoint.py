@@ -102,13 +102,74 @@ def load_model_weights(model, cfg, seed: int = 0) -> dict:
         logger.info(f"Loaded weights from {weights}")
         return variables
 
+    if weights.endswith((".pth", ".pt", ".bin", ".ckpt")) and os.path.isfile(weights):
+        variables = dict(variables)
+        variables.update(_load_torch_file(weights, cfg, variables))
+        return variables
+
     if os.path.isdir(weights):
+        # HF-snapshot layout (the reference's from_pretrained cache dir):
+        # pytorch_model.bin / model.safetensors (+ config.json)
+        for cand in ("pytorch_model.bin", "model.safetensors", "model.pth"):
+            p = os.path.join(weights, cand)
+            if os.path.isfile(p):
+                variables = dict(variables)
+                variables.update(_load_torch_file(p, cfg, variables))
+                return variables
         restored = restore_checkpoint(weights, variables)
         logger.info(f"Restored orbax checkpoint from {weights}")
         return restored
 
+    if "/" in weights and not os.path.exists(weights):
+        # Hub id, the reference's MaGGIe.from_pretrained('chuonghm/...')
+        # (network/__init__.py:7-13). Try the hub if importable/online.
+        try:
+            from huggingface_hub import snapshot_download
+            local = snapshot_download(weights)
+            cfg2 = cfg.clone() if hasattr(cfg, "clone") else cfg
+            cfg2.model.weights = local
+            return load_model_weights(model, cfg2, seed)
+        except Exception as e:
+            raise FileNotFoundError(
+                f"Cannot fetch hub checkpoint {weights!r} ({e}). Offline recipe: "
+                f"download pytorch_model.bin elsewhere, then point model.weights "
+                f"at the file/directory, or pre-convert with "
+                f"tools/convert_torch_ckpt.py") from e
+
     raise FileNotFoundError(f"Cannot load weights from {weights!r}: expected an "
-                            f".npz (use tools/convert_torch_ckpt.py) or an orbax dir")
+                            f".npz (use tools/convert_torch_ckpt.py), a torch "
+                            f".pth/.bin/.safetensors, an HF snapshot dir, an "
+                            f"orbax dir, or a hub id")
+
+
+def _load_torch_file(path: str, cfg, variables: dict) -> dict:
+    """Convert a torch state_dict (file or HF snapshot member) in-process and
+    partial-load it into ``variables`` (reference loads torch checkpoints
+    natively; parity via maggie_tpu.utils.convert_torch)."""
+    from .convert_torch import convert
+
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        sd = load_file(path)
+    else:
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        sd = {k: v.numpy() for k, v in sd.items()}
+
+    video = cfg.model.arch in ("MaGGIe_Temp",)
+    flat = convert(sd, video=video,
+                   n_block=int(cfg.model.decoder_args.get("atten_block", 2)),
+                   decoder=cfg.model.decoder)
+    loaded = {tuple(k.split("/")): np.asarray(v) for k, v in flat.items()}
+    out = {}
+    for coll in ("params", "batch_stats", "spectral"):
+        coll_flat = {k[1:]: v for k, v in loaded.items() if k[0] == coll}
+        if coll_flat and coll in variables:
+            out[coll] = partial_load(variables[coll], coll_flat)
+    logger.info(f"Converted + loaded torch checkpoint {path}")
+    return out
 
 
 def fold_spectral_norm(variables: dict) -> dict:

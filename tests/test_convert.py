@@ -167,3 +167,48 @@ def test_converted_paths_exist_in_model_tree():
         assert rest in target, f"converted path {path} missing from model tree"
         assert tuple(v.shape) == tuple(target[rest]), (path, v.shape, target[rest])
     assert not any("dummy_downscale" in k for k in out)
+
+
+def test_load_model_weights_from_torch_pth(tmp_path):
+    """Reference loads torch checkpoints natively (file or HF snapshot,
+    network/__init__.py:7-13); load_model_weights converts .pth in-process."""
+    import torch
+    from tests.test_full_model_parity import (_install_ref_stubs, _ref_cfg)
+    _install_ref_stubs()
+    from maggie.network.arch import maggie as ref_maggie
+
+    enc_args = {"num_mask": 2, "num_embed": 0}
+    dec_args = {"max_inst": 2}
+    torch.manual_seed(0)
+    ref = ref_maggie.MaGGIe(_ref_cfg("res_shortcut_29", enc_args,
+                                     "res_shortcut_22", dec_args))
+    pth = tmp_path / "last_model.pth"
+    torch.save(ref.state_dict(), str(pth))
+
+    from maggie_tpu.config import load_config
+    from maggie_tpu.models import build_model
+    from maggie_tpu.utils.checkpoint import load_model_weights
+
+    cfg = load_config()
+    cfg.model.arch = "MaGGIe"
+    cfg.model.encoder = "res_shortcut_29"
+    cfg.model.encoder_args.update(enc_args)
+    cfg.model.decoder = "res_shortcut_22"
+    cfg.model.decoder_args.update(dec_args)
+    cfg.model.weights = str(pth)
+    model = build_model(cfg.model)
+    variables = load_model_weights(model, cfg)
+
+    # spot-check one converted leaf: encoder conv1 weight_bar, OIHW -> HWIO
+    t = ref.state_dict()["encoder.conv1.module.weight_bar"].numpy()
+    j = np.asarray(variables["params"]["encoder_mod"]["conv1"]["weight_bar"])
+    np.testing.assert_allclose(j, np.transpose(t, (2, 3, 1, 0)), rtol=1e-6)
+
+    # HF snapshot-directory layout
+    snap = tmp_path / "snapshot"
+    snap.mkdir()
+    torch.save(ref.state_dict(), str(snap / "pytorch_model.bin"))
+    cfg.model.weights = str(snap)
+    variables2 = load_model_weights(model, cfg)
+    j2 = np.asarray(variables2["params"]["encoder_mod"]["conv1"]["weight_bar"])
+    np.testing.assert_allclose(j2, j, rtol=0)
