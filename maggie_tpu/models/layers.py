@@ -30,6 +30,21 @@ def xavier_uniform() -> Callable:
     return nn.initializers.xavier_uniform()
 
 
+def _sn_uv_init(rng, w_mat, n_iter: int = 10):
+    """Converged u/v for spectral norm at INIT: torch starts u/v random and
+    converges them across training forwards (spectral_norm.py:22-35); a random
+    pair underestimates sigma badly, scaling fresh weights UP — stacked through
+    ~20 SN convs that blew random-init activations to ~1e13 and made TCVOM's
+    attention einsum overflow-order-sensitive under jit. Released-checkpoint
+    u/v override these, so parity is unaffected."""
+    u = _l2normalize(jax.random.normal(rng, (w_mat.shape[0],)))
+    w32 = w_mat.astype(jnp.float32)
+    for _ in range(n_iter):
+        v = _l2normalize(w32.T @ u)
+        u = _l2normalize(w32 @ v)
+    return u, v
+
+
 def _l2normalize(v: jax.Array) -> jax.Array:
     return v / (jnp.linalg.norm(v) + EPS_L2NORM)
 
@@ -57,13 +72,13 @@ class SNConv(nn.Module):
         if self.is_initializing() or self.has_variable("spectral", "u"):
             # torch layout for the power iteration: (O, I, kh, kw).reshape(O, -1)
             w_mat = jnp.transpose(kernel, (3, 2, 0, 1)).reshape(self.features, -1)
-            height, width = w_mat.shape
+            # one shared rng: u and v must come from the SAME iteration chain or
+            # their signs can pair inconsistently (sigma would flip negative)
+            _rng = self.make_rng("params") if self.is_initializing() else None
             u_var = self.variable(
-                "spectral", "u",
-                lambda: _l2normalize(jax.random.normal(self.make_rng("params"), (height,))))
+                "spectral", "u", lambda: _sn_uv_init(_rng, w_mat)[0])
             v_var = self.variable(
-                "spectral", "v",
-                lambda: _l2normalize(jax.random.normal(self.make_rng("params"), (width,))))
+                "spectral", "v", lambda: _sn_uv_init(_rng, w_mat)[1])
             u, v = u_var.value, v_var.value
             if update_sn and not self.is_initializing():
                 w32 = w_mat.astype(jnp.float32)
@@ -108,13 +123,13 @@ class SNConvTranspose(nn.Module):
         if self.is_initializing() or self.has_variable("spectral", "u"):
             # torch ConvTranspose2d weight is (I, O, kh, kw); power-iterate over (I, O*kh*kw)
             w_mat = jnp.transpose(kernel, (2, 3, 0, 1)).reshape(in_ch, -1)
-            height, width = w_mat.shape
+            # one shared rng: u and v must come from the SAME iteration chain or
+            # their signs can pair inconsistently (sigma would flip negative)
+            _rng = self.make_rng("params") if self.is_initializing() else None
             u_var = self.variable(
-                "spectral", "u",
-                lambda: _l2normalize(jax.random.normal(self.make_rng("params"), (height,))))
+                "spectral", "u", lambda: _sn_uv_init(_rng, w_mat)[0])
             v_var = self.variable(
-                "spectral", "v",
-                lambda: _l2normalize(jax.random.normal(self.make_rng("params"), (width,))))
+                "spectral", "v", lambda: _sn_uv_init(_rng, w_mat)[1])
             u, v = u_var.value, v_var.value
             if update_sn and not self.is_initializing():
                 w32 = w_mat.astype(jnp.float32)

@@ -30,10 +30,23 @@ def _shrink(cfg):
 
 
 def _init_and_eval(cfg, batch, **kwargs):
+    # jitted so the persistent compile cache makes suite reruns cheap; eager
+    # apply of full models costs minutes per test on this 1-core host
     model = build_model(cfg.model)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False, **kwargs)
-    out = model.apply(variables, batch, train=False, **kwargs)
+    variables = jax.jit(
+        lambda r, b: model.init({"params": r}, b, train=False, **kwargs)
+    )(jax.random.PRNGKey(0), batch)
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False, **kwargs))(variables, batch)
     return model, variables, out
+
+
+def _train_apply(model, variables, batch, seed=1):
+    def f(v, b, r1, r2):
+        return model.apply(v, b, train=True,
+                           rngs={"unknown": r1, "dropout": r2},
+                           mutable=["batch_stats", "spectral"])
+    return jax.jit(f)(variables, batch, jax.random.PRNGKey(seed),
+                      jax.random.PRNGKey(seed + 1))
 
 
 def test_mgm_singinst_eval_and_train():
@@ -44,10 +57,7 @@ def test_mgm_singinst_eval_and_train():
     a = np.asarray(out["refined_masks"])
     assert np.isfinite(a).all() and a.min() >= 0 and a.max() <= 1
 
-    (o, loss), _ = model.apply(
-        variables, _batch(n_i=1), train=True,
-        rngs={"unknown": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
-        mutable=["batch_stats", "spectral"])
+    (o, loss), _ = _train_apply(model, variables, _batch(n_i=1))
     assert np.isfinite(float(loss["total"]))
 
 
@@ -67,10 +77,7 @@ def test_sparsemat_eval_and_train():
     assert np.isfinite(np.asarray(out["refined_masks"])).all()
 
     tb = _batch(n_i=1, h=128, w=128)
-    (o, loss), _ = model.apply(
-        variables, tb, train=True,
-        rngs={"unknown": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
-        mutable=["batch_stats", "spectral"])
+    (o, loss), _ = _train_apply(model, variables, tb)
     assert np.isfinite(float(loss["total"]))
     for k in ["loss_rec", "loss_lap", "loss_grad"]:
         assert k in loss
@@ -91,10 +98,7 @@ def test_tcvom_eval_and_train():
     assert out["refined_masks"].shape == (1, 3, 1, 64, 64)
     assert np.isfinite(np.asarray(out["refined_masks"])).all()
 
-    (o, loss), _ = model.apply(
-        variables, _batch(n_f=3, n_i=1), train=True,
-        rngs={"unknown": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
-        mutable=["batch_stats", "spectral"])
+    (o, loss), _ = _train_apply(model, variables, _batch(n_f=3, n_i=1), seed=3)
     assert np.isfinite(float(loss["total"]))
     assert "loss_atten" in loss
 
@@ -116,8 +120,5 @@ def test_inst_matt_dense_ablation_decoder():
     assert out["refined_masks"].shape == (1, 1, 2, 64, 64)
     assert np.isfinite(np.asarray(out["refined_masks"])).all()
 
-    (o, loss), _ = model.apply(
-        variables, _batch(n_i=2), train=True,
-        rngs={"unknown": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
-        mutable=["batch_stats", "spectral"])
+    (o, loss), _ = _train_apply(model, variables, _batch(n_i=2))
     assert np.isfinite(float(loss["total"]))

@@ -45,10 +45,10 @@ def model_and_vars():
     cfg = _image_cfg()
     model = build_model(cfg.model)
     batch = _batch()
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "unknown": jax.random.PRNGKey(1),
+    variables = jax.jit(lambda r, b: model.init(
+        {"params": r, "unknown": jax.random.PRNGKey(1),
          "dropout": jax.random.PRNGKey(2)},
-        batch, train=False)
+        b, train=False))(jax.random.PRNGKey(0), batch)
     return model, variables
 
 
@@ -66,12 +66,12 @@ def test_eval_forward(model_and_vars):
 def test_train_forward_loss(model_and_vars):
     model, variables = model_and_vars
     batch = _batch()
-    (out, loss_dict), mutated = model.apply(
-        variables, batch, train=True,
+    (out, loss_dict), mutated = jax.jit(lambda v, b: model.apply(
+        v, b, train=True,
         use_mask_atten=False, use_gt_guidance=True, use_prm_weights=True,
         atten_loss_enabled=True,
         rngs={"unknown": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
-        mutable=["batch_stats", "spectral"])
+        mutable=["batch_stats", "spectral"]))(variables, batch)
     assert np.isfinite(float(loss_dict["total"]))
     # all padded to max_inst in training
     assert out["refined_masks"].shape == (1, 1, 10, 64, 64)
@@ -93,7 +93,7 @@ def test_train_grads_flow(model_and_vars):
             mutable=["batch_stats", "spectral"])
         return loss_dict["total"]
 
-    grads = jax.grad(loss_fn)(variables["params"])
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])  # cacheable compile
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     nonzero = sum(float(jnp.sum(jnp.abs(g))) > 0 for g in leaves)
