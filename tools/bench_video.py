@@ -1,0 +1,90 @@
+"""Streaming video-eval throughput on the local chip.
+
+Mirrors the reference's video condition (BASELINE.md): 576p clips,
+clip_length 3 / overlap 2 streaming — each clip forward advances ONE new frame,
+so effective frames/sec = clip_forwards/sec. ConvGRU memory (mem_feat) and the
+previous fused alpha (prev_pred) are carried across clips exactly as
+``engine/test.py`` does (reference ``maggie/engine/test.py:186-295``).
+
+Usage: python tools/bench_video.py [n_inst] [precision fp32|bf16] [cap]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from maggie_tpu.config import load_config
+from maggie_tpu.models import build_model
+from maggie_tpu.utils.checkpoint import fold_spectral_norm
+
+
+def _clip_batch(h, w, n_i, n_f=3, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    rs = np.random.RandomState(seed)
+    alphas = []
+    for j in range(n_i):
+        cx = (j + 1) * w // (n_i + 1)
+        d = np.sqrt((yy - h // 2) ** 2 + (xx - cx) ** 2)
+        alphas.append(np.clip((h // 4 - d) / (h * 0.05), 0, 1))
+    alpha = np.stack(alphas).astype(np.float32)
+    masks = (alpha > 0.5).astype(np.float32)[:, ::8, ::8]
+    return {
+        "image": jnp.asarray(rs.rand(1, n_f, h, w, 3).astype(np.float32)),
+        "mask": jnp.asarray(np.broadcast_to(masks[None, None], (1, n_f, n_i, h // 8, w // 8)).copy()),
+    }
+
+
+def main(n_i=3, precision="bf16", cap=0.5):
+    cfg = load_config("configs/maggie_video.yaml")
+    cfg.model.precision = precision
+    cfg.model.decoder_args.update(dict(sparse_mode="block", block_cap_frac=cap))
+    cfg.model.encoder_args.num_mask = 10
+    model = build_model(cfg.model)
+
+    h, w = 576, 1024
+    batch = _clip_batch(h, w, n_i)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    variables = fold_spectral_norm(variables)
+
+    out0 = model.apply(variables, batch, train=False)
+    prev0 = out0["refined_masks"][:, 1]
+
+    iters = 10
+
+    # ConvGRU memory is a plain tensor, which the eval engine (mirroring the
+    # reference, test.py:252-254) does NOT carry across clips — only prev_pred.
+    def run(v, b, prev, carry):
+        def body(c, _):
+            prev_c, acc = c
+            bb = dict(b)
+            bb["image"] = b["image"] + acc * 0.0
+            out = model.apply(v, bb, train=False, mem_feat=None, prev_pred=prev_c)
+            return (out["refined_masks"][:, 1],
+                    jnp.sum(out["refined_masks"]) * 1e-20 + acc), ()
+        (p, acc), _ = jax.lax.scan(body, (prev, carry), None, length=iters)
+        return acc
+
+    f = jax.jit(run)
+    float(f(variables, batch, prev0, jnp.float32(0.0)))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(variables, batch, prev0, jnp.float32(0.0)))
+        best = min(best, time.perf_counter() - t0)
+    ms = (best - 0.003) / iters * 1000
+    print(f"video streaming eval 576p {n_i}-inst clip3/overlap2 {precision} cap {cap}: "
+          f"{ms:.1f} ms/clip-forward = {1000.0 / ms:.2f} new frames/sec/chip", flush=True)
+
+
+if __name__ == "__main__":
+    main(n_i=int(sys.argv[1]) if len(sys.argv) > 1 else 3,
+         precision=sys.argv[2] if len(sys.argv) > 2 else "bf16",
+         cap=float(sys.argv[3]) if len(sys.argv) > 3 else 0.5)
