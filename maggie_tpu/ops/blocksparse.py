@@ -116,6 +116,43 @@ def _gather_patches_bwd(block, halo, res, g):
 gather_patches.defvjp(_gather_patches_fwd, _gather_patches_bwd)
 
 
+def _gather_mask_via_packed(mask, idx_n, idx_by, idx_bx, block: int, halo: int,
+                            gather_fn):
+    """C=1 windows via 4x4-pixel -> 16-channel packing (double space-to-depth).
+
+    Pure indexing transform: pack, gather packed windows (block/4, ceil-halo),
+    unpack, slice the exact (block + 2*halo) window. Exact for any gather_fn;
+    requires block % 32 == 0 so the packed block*C stays 128-aligned."""
+    n, h, w, _ = mask.shape
+    m = (mask.reshape(n, h // 4, 4, w // 4, 4, 1)
+         .transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 4, w // 4, 16))
+    bp, hp = block // 4, -(-halo // 4)
+    p = gather_fn(m, idx_n, idx_by, idx_bx, bp, hp)        # (cap, s, s, 16)
+    cap, s = p.shape[0], p.shape[1]
+    full = (p.reshape(cap, s, s, 4, 4, 1)
+            .transpose(0, 1, 3, 2, 4, 5).reshape(cap, s * 4, s * 4, 1))
+    off = hp * 4 - halo
+    size = block + 2 * halo
+    return full[:, off:off + size, off:off + size]
+
+
+def gather_mask_patches(mask: jax.Array, idx_n, idx_by, idx_bx, block: int,
+                        halo: int, differentiable: bool = True):
+    """Haloed windows of a (N, H, W, 1) 0/1 mask.
+
+    The generic ``gather_patches`` XLA fallback serializes per slice for C=1
+    maps — measured ~50 ms/frame for the os2 mask windows alone inside the full
+    graph. When the Pallas DMA kernel is available and gradients are not needed
+    (eval; binary masks carry no useful cotangents anyway), the mask is packed
+    4x4 pixels -> 16 channels so the kernel's lane alignment holds."""
+    if (not differentiable and block % 32 == 0 and mask.shape[-1] == 1
+            and _use_pallas_gather()):
+        from .pallas.gather import gather_patches_pallas
+        return _gather_mask_via_packed(mask, idx_n, idx_by, idx_bx, block, halo,
+                                       gather_patches_pallas)
+    return gather_patches(mask, idx_n, idx_by, idx_bx, block, halo)
+
+
 def scatter_blocks(cores: jax.Array, idx_n, idx_by, idx_bx, valid,
                    out_shape: tuple, fill: float = 0.0):
     """cores: (cap, block, block, C) core regions -> dense (N, H, W, C) buffer

@@ -37,3 +37,22 @@ def test_gather_patches_backward_matches_autodiff():
     g_plain = jax.grad(f_plain)(feat)
     np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_plain),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_packed_mask_gather_indexing_exact():
+    """The 4x4->16ch packing transform must be an exact identity around any
+    gather implementation (here the XLA one)."""
+    from maggie_tpu.ops.blocksparse import _gather_mask_via_packed
+    rs = np.random.RandomState(3)
+    mask = jnp.asarray((rs.rand(3, 128, 192, 1) > 0.5).astype(np.float32))
+    idx_n = jnp.asarray(rs.randint(0, 3, 15))
+    idx_by = jnp.asarray(rs.randint(0, 128 // 32, 15))
+    idx_bx = jnp.asarray(rs.randint(0, 192 // 32, 15))
+    for block, halo in ((32, 2), (64, 4), (32, 5)):
+        if block > 128 // 2:
+            continue
+        ref = _gather_patches_xla(mask, idx_n, idx_by, idx_bx, block, halo)
+        out = _gather_mask_via_packed(mask, idx_n, idx_by, idx_bx, block, halo,
+                                      _gather_patches_xla)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   err_msg=f"block={block} halo={halo}")
