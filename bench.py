@@ -12,7 +12,11 @@ alpha drift vs f32 is 6.3e-4 mean, within the 1e-3 MAD budget).
 The reference publishes no throughput numbers (SURVEY.md §6, BASELINE.md), so
 vs_baseline is reported against this framework's recorded ROUND-1 measurement on
 the same chip/shape (17.40 frames/s, f32, block cap 0.5) — a real recorded
-baseline rather than a pretend torch number.
+baseline rather than a pretend torch number. Because that baseline is f32, a
+same-methodology f32 companion number is measured in the same run and printed to
+stderr, so the bf16-vs-f32 and methodology components of the headline are
+separable (advisor round-2 finding). Dispatch overhead is calibrated by timing an
+empty jitted scalar function the same way, not assumed.
 """
 
 from __future__ import annotations
@@ -55,17 +59,12 @@ def main():
     from maggie_tpu.models import build_model
     from __graft_entry__ import _image_model_cfg, _make_batch
 
-    cfg = _image_model_cfg()
-    cfg.model.precision = "bf16"
-    cfg.model.decoder_args.update(dict(sparse_mode="block", block_cap_frac=0.5))
-    model = build_model(cfg.model)
+    import sys
 
     from maggie_tpu.utils.checkpoint import fold_spectral_norm
 
     h, w, n_i = 576, 1024, 3
     batch = _blob_batch(h, w, n_i)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
-    variables = fold_spectral_norm(variables)
 
     # Iterations loop INSIDE jit (lax.scan with a serial data dependency): the
     # tunneled dev platform costs ~3 ms dispatch per jit call and its
@@ -74,33 +73,53 @@ def main():
     # the whole run; reported time is device time per frame.
     iters = 20
 
-    def run(v, b, carry):
-        def body(c, _):
-            bb = dict(b)
-            bb["image"] = b["image"] + c * 0.0
-            out = model.apply(v, bb, train=False)["refined_masks"]
-            return jnp.sum(out) * 1e-20 + c, ()
-        final, _ = jax.lax.scan(body, carry, None, length=iters)
-        return final
+    # measured empty-dispatch calibration (same call/sync pattern, no compute)
+    empty = jax.jit(lambda c: c + 1.0)
+    float(empty(jnp.float32(0.0)))
+    dispatch = min(_timed(lambda: float(empty(jnp.float32(0.0)))) for _ in range(5))
 
-    fwd = jax.jit(run)
-    float(fwd(variables, batch, jnp.float32(0.0)))  # compile + warmup + sync
+    def measure(precision):
+        from __graft_entry__ import _init_variables
+        cfg = _image_model_cfg()
+        cfg.model.precision = precision
+        cfg.model.decoder_args.update(dict(sparse_mode="block", block_cap_frac=0.5))
+        model = build_model(cfg.model)
+        # init at 64x64 (param shapes are resolution-independent): a full-res
+        # init graph costs minutes of tunnel compile vs seconds for the tiny one
+        variables = _init_variables(model, n_i=3)
+        variables = fold_spectral_norm(variables)
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(fwd(variables, batch, jnp.float32(0.0)))
-        best = min(best, time.perf_counter() - t0)
-    dt = best - 0.003  # one dispatch
+        def run(v, b, carry):
+            def body(c, _):
+                bb = dict(b)
+                bb["image"] = b["image"] + c * 0.0
+                out = model.apply(v, bb, train=False)["refined_masks"]
+                return jnp.sum(out) * 1e-20 + c, ()
+            final, _ = jax.lax.scan(body, carry, None, length=iters)
+            return final
 
-    frames = iters * 1 * 1  # b * n_f per step
-    fps = frames / dt
+        fwd = jax.jit(run)
+        float(fwd(variables, batch, jnp.float32(0.0)))  # compile + warmup + sync
+        best = min(_timed(lambda: float(fwd(variables, batch, jnp.float32(0.0))))
+                   for _ in range(3))
+        return iters / (best - dispatch)  # frames/sec (b=1, n_f=1 per step)
+
+    fps32 = measure("fp32")
+    print(f"[bench] f32 companion (same methodology): {fps32:.2f} frames/s; "
+          f"dispatch calibration {dispatch * 1e3:.2f} ms", file=sys.stderr)
+    fps = measure("bf16")
     print(json.dumps({
         "metric": "maggie_image_eval_576p_3inst_frames_per_sec_per_chip",
         "value": round(fps, 4),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / ROUND1_BASELINE_FPS, 4),
     }))
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

@@ -208,9 +208,6 @@ class ResShortCutInstMattSpconvDec(nn.Module):
         """
         from ..ops.blocksparse import (gather_mask_patches, gather_patches,
                                        scatter_blocks, select_blocks)
-        from ..ops import blocksparse as _bs  # _bs.DEBUG_STOP: perf bisection aid
-
-        _stop = getattr(_bs, "DEBUG_STOP", 0)
 
         B, n_i, H, W = roi_masks.shape
         N = B * n_i
@@ -242,11 +239,6 @@ class ResShortCutInstMattSpconvDec(nn.Module):
         g = queries.reshape(N, 1, 1, queries.shape[-1]).astype(dt)
         x8 = self.inst_spec_layer(x8 * g, deterministic=not train) * m8.astype(dt)
 
-        if _stop == 3:  # skip the whole ladder
-            z0 = jnp.sum(x8) * 0.0
-            return (jnp.full((B, n_i, H // 4, W // 4), -99.0, dt) + z0,
-                    jnp.full((B, n_i, H, W), -99.0, dt) + z0)
-
         # ---- rung 1: os8 -> os4 (core 16, os4 halo 4) ----
         x8p = gather_patches(x8, idx_n, idx_by, idx_bx, 8, 3)          # (cap,14,14,C)
         m8p = gather_patches(m8, idx_n, idx_by, idx_bx, 8, 3)
@@ -273,51 +265,21 @@ class ResShortCutInstMattSpconvDec(nn.Module):
         x4_dense = scatter_blocks(z[:, 4:20, 4:20], idx_n, idx_by, idx_bx, valid,
                                   (N, H // 4, W // 4, z.shape[-1]), fill=0.0)
 
-        if _stop == 1:  # stop after rung 1
-            z0 = jnp.sum(x4_dense) * 0.0
-            return (x_os4[..., 0].reshape(B, n_i, H // 4, W // 4),
-                    jnp.full((B, n_i, H, W), -99.0, dt) + z0)
-
         # ---- rung 2: os4 -> os2 (core 32, no spatial convs after inverse) ----
-        def _early(t):
-            z0 = jnp.sum(t.astype(jnp.float32)).astype(dt) * 0.0
-            return (x_os4[..., 0].reshape(B, n_i, H // 4, W // 4),
-                    jnp.full((B, n_i, H, W), -99.0, dt) + z0)
-
         x4p = gather_patches(x4_dense, idx_n, idx_by, idx_bx, 16, 1)   # (cap,18,18,64)
-        if _stop == 21:
-            return _early(x4p)
         m4p1 = m4p6[:, 5:23, 5:23]  # halo-1 window of the halo-6 gather above
         m2p2 = gather_mask_patches(m2, idx_n, idx_by, idx_bx, 32, 2,
                                    differentiable=train)               # (cap,36,36,1)
-        if _stop == 22:
-            return _early(m2p2)
         z = self.l4_inv(x4p, m4p1, m2p2)                               # (cap,36,36,32)
-        if _stop == 23:
-            return _early(z)
         m2p = m2p2[:, 2:34, 2:34]
         z = lr(self.l4_bn(z, m2p2, train, stats_mask=stats(m2p2, 36, 2, 34)))[:, 2:34, 2:34]
         z = self.l4_subm(z, m2p)
-        if _stop == 24:
-            return _early(z)
         f2p = gather_patches(fea2, img_n, idx_by, idx_bx, 32, 0) * m2p.astype(dt)
-        if _stop == 25:
-            return _early(f2p + jnp.sum(z) * 0)
         z = jnp.concatenate([f2p, z], axis=-1)
         z = self.l4s_bn(nn.relu(self.l4s_conv(z, m2p)), m2p, train,
                         stats_mask=m2p * vmask)  # halo-free patch: all core
         x2_dense = scatter_blocks(z, idx_n, idx_by, idx_bx, valid,
                                   (N, H // 2, W // 2, z.shape[-1]), fill=0.0)
-        if _stop == 27:  # observe x2_dense (channel sum) through the os1 slot
-            dbg = jnp.zeros((B, n_i, H, W), dt)
-            s2 = jnp.sum(x2_dense.astype(jnp.float32), -1).astype(dt)
-            dbg = dbg.at[:, :, :H // 2, :W // 2].set(s2.reshape(B, n_i, H // 2, W // 2))
-            return (x_os4[..., 0].reshape(B, n_i, H // 4, W // 4), dbg)
-
-        if _stop == 2:  # stop after rung 2
-            z0 = jnp.sum(x2_dense) * 0.0
-            return (x_os4[..., 0].reshape(B, n_i, H // 4, W // 4),
-                    jnp.full((B, n_i, H, W), -99.0, dt) + z0)
 
         # ---- rung 3: os2 -> os1 (core 64, os1 halo 3) ----
         if self.phase_rung and not train and not self.is_initializing():

@@ -143,7 +143,10 @@ class ResMaskEmbedShortCutD(nn.Module):
             # binary masks that reduces to a LINEAR map — sum_j mask_j * table[j+1]
             # over sum_j mask_j — one small matmul instead of a 5.9M-row gather
             # (the gather alone was ~20 ms/frame at 576x1024 on v5e).
-            m = masks.astype(jnp.float32)
+            # Binarize at the boundary: the linearization is only exact for 0/1
+            # masks; a fractional value (e.g. from an interpolated resize) would
+            # silently blend embeddings where the reference's id-gather floors.
+            m = (masks > 0.5).astype(jnp.float32)
             emb = jnp.einsum("nhwm,me->nhwe", m, table.embedding[1:n_m + 1])
             emb = emb / (m.sum(axis=-1, keepdims=True) + 1e-6)  # (N, H, W, num_embed)
             inp = jnp.concatenate([inp, emb.astype(inp.dtype)], axis=-1)

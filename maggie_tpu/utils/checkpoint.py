@@ -126,7 +126,8 @@ def load_model_weights(model, cfg, seed: int = 0) -> dict:
         try:
             from huggingface_hub import snapshot_download
             local = snapshot_download(weights)
-            cfg2 = cfg.clone() if hasattr(cfg, "clone") else cfg
+            import copy
+            cfg2 = copy.deepcopy(cfg)  # don't mutate the caller's cfg.model.weights
             cfg2.model.weights = local
             return load_model_weights(model, cfg2, seed)
         except Exception as e:
@@ -153,7 +154,15 @@ def _load_torch_file(path: str, cfg, variables: dict) -> dict:
         sd = load_file(path)
     else:
         import torch
-        sd = torch.load(path, map_location="cpu", weights_only=False)
+        try:
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            # weights_only=False unpickles arbitrary objects — only fall back for
+            # files the user pointed at explicitly, and say so.
+            logger.warning(
+                f"{path}: not loadable with weights_only=True; falling back to "
+                f"full unpickling. Only do this for checkpoints you trust.")
+            sd = torch.load(path, map_location="cpu", weights_only=False)
         if isinstance(sd, dict) and "state_dict" in sd:
             sd = sd["state_dict"]
         sd = {k: v.numpy() for k, v in sd.items()}
