@@ -202,6 +202,11 @@ def default_config() -> ConfigNode:
     # sweep compiles a handful of shapes instead of one per image (TPU-only knob;
     # the reference recompiles nothing, torch is shape-polymorphic)
     c.test.shape_bucketing = True
+    # video eval: carry the ConvGRU hidden state across clip windows. The
+    # reference never does (its tuple-only mem_feat carry drops the plain-tensor
+    # ConvGRU state, engine/test.py:252-254) — False replicates that for parity;
+    # True enables the fixed behavior.
+    c.test.carry_memory = False
 
     c.model = ConfigNode()
     c.model.weights = ""

@@ -203,9 +203,16 @@ def eval_image(model, variables, val_loader, log_iter, val_error_dict,
 
 
 def eval_video(model, variables, val_loader, log_iter, val_error_dict,
-               do_postprocessing=False, callback=None, **kwargs):
+               do_postprocessing=False, callback=None, shape_bucketing=False,
+               carry_memory=False, **kwargs):
     """Reference ``eval_video`` (test.py:169-296): overlapping 3-frame clips with
-    carried (mem_feat, prev_pred) state and rolling metric windows."""
+    carried (mem_feat, prev_pred) state and rolling metric windows.
+
+    ``shape_bucketing`` pads clips to the same canonical (H, W, n_i) buckets as
+    ``eval_image`` and crops outputs back, so a V-HIM-style sweep over videos of
+    varied aspect ratio compiles a handful of programs instead of one per video.
+    The carried device state (``prev_pred``, ConvGRU memory) stays at the bucket
+    shape — consistent within a video, and reset at every ``is_first``."""
     import jax.numpy as jnp
 
     batch_time = AverageMeter("batch_time")
@@ -247,11 +254,23 @@ def eval_video(model, variables, val_loader, log_iter, val_error_dict,
             continue
         dbatch = _device_batch(batch)
 
+        orig = None
+        if shape_bucketing:
+            h, w = dbatch["image"].shape[2], dbatch["image"].shape[3]
+            n_i = dbatch["mask"].shape[2]
+            hb, wb, nb = _bucket_dims(h, w, n_i)
+            if (hb, wb, nb) != (h, w, n_i):
+                dbatch = _pad_to_bucket(dbatch, hb, wb, nb)
+                orig = (n_i, h, w)
+
         end_time = time.time()
         output = fwd(dbatch, mem_feats, prev_pred)
         alpha_dev = output["refined_masks"]
-        prev_pred = alpha_dev[:, 1]
+        prev_pred = alpha_dev[:, 1]  # carried at the bucket shape
         alpha = np.asarray(alpha_dev)
+        if orig is not None:
+            n_i, h, w = orig
+            alpha = alpha[:, :, :n_i, :h, :w]
         batch_time.update(time.time() - end_time)
 
         ti = transform_info[0] if isinstance(transform_info, list) else transform_info
@@ -272,12 +291,18 @@ def eval_video(model, variables, val_loader, log_iter, val_error_dict,
             all_image_names += list(image_names[2:])
             all_preds = np.concatenate([all_preds[:-1], alpha[0, 1:]], axis=0)
 
-        if mem_feats is None and "mem_feat" in output:
+        if "mem_feat" in output:
             mf = output["mem_feat"]
-            # reference only carries tuple-typed memory (test.py:252-254); the
-            # ConvGRU hidden state is a plain tensor, so released-model eval runs
-            # with fresh memory per clip — replicated for parity
-            if isinstance(mf, tuple):
+            if carry_memory and mf is not None and not isinstance(mf, tuple):
+                # FIXED behavior (flag-gated, off by default): actually carry the
+                # ConvGRU hidden state across clips. The state after frame 0 is
+                # the memory preceding the next clip's first frame (clips overlap
+                # by 2, so next clip's frame 0 == this clip's frame 1).
+                mem_feats = mf[:, 0]
+            elif mem_feats is None and isinstance(mf, tuple):
+                # reference only carries tuple-typed memory (test.py:252-254); the
+                # ConvGRU hidden state is a plain tensor, so released-model eval
+                # runs with fresh memory per clip — replicated for parity
                 mem_feats = tuple(x[:, 0] for x in mf)
 
         if callback is not None:
@@ -354,7 +379,8 @@ def test(cfg, variables=None):
                                    val_error_dict,
                                    do_postprocessing=cfg.test.postprocessing,
                                    callback=callback,
-                                   shape_bucketing=bool(cfg.test.get("shape_bucketing", True)))
+                                   shape_bucketing=bool(cfg.test.get("shape_bucketing", True)),
+                                   carry_memory=bool(cfg.test.get("carry_memory", False)))
     logger.info("Testing done!")
     peak_mb = device_peak_memory_mb()
     if peak_mb is not None:
