@@ -1,0 +1,167 @@
+"""Instance-mask segmenters feeding the demo (reference ``demo/maskrcnn.py``,
+``demo/xmem_processor.py``, ``demo/samurai_processor.py``).
+
+The reference chains external models in front of MaGGIe: ONNX MaskRCNN for
+image instance proposals, XMem or SAM2/Samurai for video mask propagation.
+Here that chain is a CODE interface with four backends:
+
+- ``MaskFileSegmenter`` — masks the user already has (what the external
+  models would produce). Works everywhere, today.
+- ``MaskRCNNOnnxSegmenter`` — full pre/post-processing of the public
+  MaskRCNN-10 ONNX model (mirrors ``demo/maskrcnn.py:7-44,47-77``); needs
+  ``onnxruntime`` + the model file and raises with the exact recipe when
+  either is missing.
+- ``XMemPropagator`` / ``Sam2Propagator`` — video mask propagation plug
+  points; their upstream repos/weights are not redistributable here, so they
+  raise with the recipe (clone + checkpoint path), exactly delimiting what a
+  user must supply.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Protocol
+
+import numpy as np
+from PIL import Image
+
+
+class ImageSegmenter(Protocol):
+    def segment(self, image: Image.Image) -> tuple[Image.Image, np.ndarray]:
+        """Returns (visualization, label_map) — label_map HxW uint8 with
+        0 = background, 1..n = instance ids."""
+
+
+class VideoPropagator(Protocol):
+    def propagate(self, frames: list[Image.Image],
+                  first_mask: np.ndarray) -> list[np.ndarray]:
+        """Propagates the first frame's label map to every frame."""
+
+
+def label_map_to_instances(label_map: np.ndarray) -> list[np.ndarray]:
+    """0/255 binary mask per instance id, the MaGGIe guidance format
+    (reference ``demo/maggie_predictor.py:36-44``)."""
+    ids = np.unique(label_map)
+    return [((label_map == i) * 255).astype(np.uint8) for i in ids if i != 0]
+
+
+def _overlay(image: Image.Image, label_map: np.ndarray) -> Image.Image:
+    rs = np.random.RandomState(0)
+    img = np.array(image.convert("RGB")).astype(np.float32)
+    for i in np.unique(label_map):
+        if i == 0:
+            continue
+        color = rs.randint(64, 255, 3).astype(np.float32)
+        m = (label_map == i)[..., None]
+        img = np.where(m, 0.5 * img + 0.5 * color, img)
+    return Image.fromarray(img.astype(np.uint8))
+
+
+class MaskFileSegmenter:
+    """Masks from files: one label-map PNG, or one binary PNG per instance."""
+
+    def __init__(self, mask_paths: list[str]):
+        self.mask_paths = mask_paths
+
+    def segment(self, image):
+        arrs = [np.array(Image.open(p).convert("L")) for p in self.mask_paths]
+        if len(arrs) == 1 and len(np.unique(arrs[0])) > 2:
+            label_map = arrs[0]
+        else:
+            label_map = np.zeros_like(arrs[0])
+            for i, a in enumerate(arrs):
+                label_map[a > 127] = i + 1
+        return _overlay(image, label_map), label_map
+
+
+class MaskRCNNOnnxSegmenter:
+    """MaskRCNN-10 ONNX human-instance proposals (``demo/maskrcnn.py``)."""
+
+    MODEL = "MaskRCNN-10.onnx"
+    RECIPE = (
+        "MaskRCNN backend needs: (1) `pip install onnxruntime`; (2) the model "
+        "file MaskRCNN-10.onnx next to demo/app.py — "
+        "https://github.com/onnx/models/tree/main/validated/vision/"
+        "object_detection_segmentation/mask-rcnn (the reference wgets the same "
+        "file, demo/maskrcnn.py:41-42). Then re-run."
+    )
+
+    def __init__(self, model_path: str | None = None,
+                 score_threshold: float = 0.7):
+        self.score_threshold = score_threshold
+        path = model_path or os.path.join(os.path.dirname(__file__), self.MODEL)
+        try:
+            import onnxruntime as rt
+        except ImportError as e:
+            raise RuntimeError(self.RECIPE) from e
+        if not os.path.exists(path):
+            raise RuntimeError(self.RECIPE)
+        self.sess = rt.InferenceSession(path, providers=["CPUExecutionProvider"])
+
+    @staticmethod
+    def _preprocess(image: Image.Image) -> np.ndarray:
+        # reference demo/maskrcnn.py:7-32: resize short side to 800, BGR,
+        # CHW, caffe mean subtraction, pad /32
+        ratio = 800.0 / min(image.size)
+        img = image.resize((int(ratio * image.size[0]),
+                            int(ratio * image.size[1])), Image.BILINEAR)
+        x = np.array(img)[:, :, [2, 1, 0]].astype(np.float32)
+        x = np.transpose(x, (2, 0, 1))
+        x -= np.array([102.9801, 115.9465, 122.7717], np.float32)[:, None, None]
+        ph = -(-x.shape[1] // 32) * 32
+        pw = -(-x.shape[2] // 32) * 32
+        out = np.zeros((3, ph, pw), np.float32)
+        out[:, :x.shape[1], :x.shape[2]] = x
+        return out
+
+    def segment(self, image):
+        import cv2
+        x = self._preprocess(image)
+        boxes, labels, scores, masks = self.sess.run(
+            None, {self.sess.get_inputs()[0].name: x})
+        ratio = 800.0 / min(image.size)
+        boxes = boxes / ratio
+        w, h = image.size
+        label_map = np.zeros((h, w), np.uint8)
+        inst = 0
+        # reference demo/maskrcnn.py:47-77: person class only, paste each
+        # 28x28 mask into its box, threshold 0.5
+        for mask, box, label, score in zip(masks, boxes, labels, scores):
+            if label != 1 or score <= self.score_threshold:
+                continue
+            inst += 1
+            x0, y0, x1, y1 = box
+            x0, y0 = int(max(round(x0), 0)), int(max(round(y0), 0))
+            x1, y1 = int(min(round(x1), w - 1)), int(min(round(y1), h - 1))
+            if x1 <= x0 or y1 <= y0:
+                continue
+            m = cv2.resize(mask[0], (x1 - x0 + 1, y1 - y0 + 1),
+                           interpolation=cv2.INTER_LINEAR) > 0.5
+            region = label_map[y0:y1 + 1, x0:x1 + 1]
+            region[m & (region == 0)] = inst
+        return _overlay(image, label_map), label_map
+
+
+class XMemPropagator:
+    RECIPE = (
+        "XMem propagation needs the upstream repo + checkpoint: "
+        "`git clone https://github.com/hkchengrex/XMem` on PYTHONPATH and "
+        "saves/XMem.pth (the reference shells out to demo/xmem_processor.py "
+        "the same way, demo/app.py:35-38). Masks produced by it can be fed to "
+        "this demo via MaskFileSegmenter / the mask-directory input."
+    )
+
+    def __init__(self, *a, **kw):
+        raise RuntimeError(self.RECIPE)
+
+
+class Sam2Propagator:
+    RECIPE = (
+        "SAM2/Samurai propagation needs the upstream sam2 package + "
+        "checkpoint (the reference vendors a patched sam2_base.py and runs "
+        "demo/samurai_processor.py, demo/app.py:40-43). Masks produced by it "
+        "can be fed via MaskFileSegmenter / the mask-directory input."
+    )
+
+    def __init__(self, *a, **kw):
+        raise RuntimeError(self.RECIPE)

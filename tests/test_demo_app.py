@@ -1,0 +1,104 @@
+"""Demo surface tests: segmenter boundary + app image flow end-to-end (CPU).
+
+VERDICT r2 item 8: the segmenter stage is an interface whose mask-file backend
+works today and whose external-model backends raise with recipes.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "demo"))
+
+
+def _blob_image(h=64, w=64):
+    rs = np.random.RandomState(0)
+    img = Image.fromarray((rs.rand(h, w, 3) * 255).astype(np.uint8))
+    m = np.zeros((h, w), np.uint8)
+    m[16:48, 8:30] = 255
+    m2 = np.zeros((h, w), np.uint8)
+    m2[20:60, 36:60] = 255
+    return img, [m, m2]
+
+
+def test_mask_file_segmenter(tmp_path):
+    from segmenters import MaskFileSegmenter, label_map_to_instances
+
+    img, masks = _blob_image()
+    paths = []
+    for i, m in enumerate(masks):
+        p = tmp_path / f"m{i}.png"
+        Image.fromarray(m).save(p)
+        paths.append(str(p))
+    vis, label_map = MaskFileSegmenter(paths).segment(img)
+    assert set(np.unique(label_map)) == {0, 1, 2}
+    inst = label_map_to_instances(label_map)
+    assert len(inst) == 2
+    np.testing.assert_array_equal(inst[0] > 0, masks[0] > 0)
+    assert vis.size == img.size
+
+    # single label-map file round-trips too
+    p = tmp_path / "lm.png"
+    Image.fromarray(label_map).save(p)
+    _, lm2 = MaskFileSegmenter([str(p)]).segment(img)
+    np.testing.assert_array_equal(lm2, label_map)
+
+
+def test_external_backends_raise_with_recipe():
+    from segmenters import (MaskRCNNOnnxSegmenter, Sam2Propagator,
+                            XMemPropagator)
+
+    for cls, word in ((XMemPropagator, "XMem"), (Sam2Propagator, "sam2"),
+                      (MaskRCNNOnnxSegmenter, "onnxruntime")):
+        with pytest.raises(RuntimeError, match=word):
+            cls()
+
+
+def test_app_inference_image_with_tiny_model(tmp_path, monkeypatch):
+    """Drives app.inference_image end-to-end: mask files -> segmenter ->
+    preprocess -> model -> reverse transform -> composites. A tiny flagship
+    model stands in for real weights (random init)."""
+    import app
+    from predict import preprocess
+
+    from maggie_tpu.config import load_config
+    from maggie_tpu.models import build_model
+    import jax
+
+    img, masks = _blob_image(64, 64)
+    paths = []
+    for i, m in enumerate(masks):
+        p = tmp_path / f"m{i}.png"
+        Image.fromarray(m).save(p)
+        paths.append(str(p))
+
+    cfg = load_config()
+    cfg.model.arch = "MaGGIe"
+    cfg.model.encoder = "res_shortcut_embed_29"
+    cfg.model.encoder_args.update(dict(num_embed=3, num_mask=10))
+    cfg.model.decoder = "res_shortcut_inst_matt_spconv_22"
+    cfg.model.decoder_args.update(dict(
+        atten_block=1, atten_dim=32, atten_head=1, atten_stride=1,
+        final_channel=32, max_inst=10, use_id_pe=True))
+    model = build_model(cfg.model)
+    batch, _ = preprocess([img], [masks])
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+
+    class Args:
+        config = video_config = None
+        weights = video_weights = ""
+
+    monkeypatch.setitem(app._STATE, "image_model", (model, variables))
+    vis, mattes = app.inference_image(Args(), img, paths)
+    assert len(mattes) == 2
+    assert mattes[0].size == img.size
+    arr = np.array(mattes[0])
+    assert arr.shape == (64, 64, 3) and arr.dtype == np.uint8
+
+    with pytest.raises(RuntimeError, match="No person"):
+        empty = tmp_path / "empty.png"
+        Image.fromarray(np.zeros((64, 64), np.uint8)).save(empty)
+        app.inference_image(Args(), img, [str(empty)])
