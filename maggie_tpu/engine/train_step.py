@@ -50,14 +50,27 @@ def create_train_state(model, tx: optax.GradientTransformation, init_batch: dict
     )
 
 
-def make_train_step(model, tx: optax.GradientTransformation, remat: bool = False) -> Callable:
+def make_train_step(model, tx: optax.GradientTransformation,
+                    remat: bool | str = False) -> Callable:
     """Returns train_step(state, batch, rng, **static flags) -> (state, loss_dict).
 
     Static flags (each combination compiles once):
       use_mask_atten, use_gt_guidance, use_prm_weights, atten_loss_enabled.
-    With ``remat`` the forward is rematerialized during backward (activations are
-    not stored) — the TPU counterpart of trading FLOPs for HBM on large crops.
+
+    ``remat`` trades FLOPs for HBM on large crops:
+      - False / "none": store all activations;
+      - True / "full": whole-forward ``jax.checkpoint`` — nothing stored, the
+        entire forward recomputes once during backward;
+      - "selective": store ONLY the stage-boundary activations tagged with
+        ``checkpoint_name(x, "stage")`` in the model (encoder skips, os8
+        attention output, ladder rung boundaries) — backward recomputes within
+        a stage instead of the whole net, cutting the remat overhead while
+        keeping peak memory close to the full-remat point.
     """
+    policy = None
+    if remat == "selective":
+        policy = jax.checkpoint_policies.save_only_these_names("stage")
+        remat = True
 
     @functools.partial(jax.jit, static_argnames=(
         "use_mask_atten", "use_gt_guidance", "use_prm_weights", "atten_loss_enabled"))
@@ -79,8 +92,9 @@ def make_train_step(model, tx: optax.GradientTransformation, remat: bool = False
                 rngs={"unknown": k_unknown, "dropout": k_dropout},
                 mutable=["batch_stats", "spectral"])
 
-        if remat:
-            forward = jax.checkpoint(forward)
+        if remat and remat != "none":
+            forward = (jax.checkpoint(forward, policy=policy) if policy is not None
+                       else jax.checkpoint(forward))
 
         def loss_fn(params):
             (out, loss_dict), mutated = forward(params)

@@ -64,8 +64,10 @@ def main(batch_size=2, remat=True, sparse_mode="oracle", precision="fp32",
 
 
 if __name__ == "__main__":
-    # bench_train.py [batch] [remat 0/1] [sparse oracle|block] [precision fp32|bf16]
+    # bench_train.py [batch] [remat 0|1|none|full|selective] [sparse oracle|block]
+    #                [precision fp32|bf16]
+    _r = sys.argv[2] if len(sys.argv) > 2 else "full"
     main(batch_size=int(sys.argv[1]) if len(sys.argv) > 1 else 2,
-         remat=(sys.argv[2] != "0") if len(sys.argv) > 2 else True,
+         remat={"0": "none", "1": "full"}.get(_r, _r),
          sparse_mode=sys.argv[3] if len(sys.argv) > 3 else "oracle",
          precision=sys.argv[4] if len(sys.argv) > 4 else "fp32")
