@@ -14,13 +14,16 @@ def _enc_res_shortcut_embed_29(args: dict) -> nn.Module:
         layers=(3, 4, 4, 2),
         num_mask=int(args.get("num_mask", 10)),
         num_embed=int(args.get("num_embed", 3)),
+        lazy_os1_shortcut=bool(args.get("lazy_os1_shortcut", False)),
         name="encoder_mod",
     )
 
 
 def _enc_res_shortcut_29(args: dict) -> nn.Module:
     from .encoder import ResShortCutD
-    return ResShortCutD(layers=(3, 4, 4, 2), num_mask=int(args.get("num_mask", 1)), name="encoder_mod")
+    return ResShortCutD(layers=(3, 4, 4, 2), num_mask=int(args.get("num_mask", 1)),
+                        lazy_os1_shortcut=bool(args.get("lazy_os1_shortcut", False)),
+                        name="encoder_mod")
 
 
 def _enc_res_encoder_29(args: dict) -> nn.Module:

@@ -187,7 +187,7 @@ class ResShortCutInstMattSpconvDec(nn.Module):
                 x_os1.reshape(B, n_i, H, W))
 
     def predict_details_block(self, os8_feat, roi_masks, queries, fea1, fea2, fea3,
-                              train: bool = False):
+                              train: bool = False, sc0=None):
         """Fixed-capacity block-sparse form of ``predict_details``.
 
         One block grid (64 os1 = 32 os2 = 16 os4 = 8 os8 pixels) is selected by
@@ -223,6 +223,39 @@ class ResShortCutInstMattSpconvDec(nn.Module):
         idx_n, idx_by, idx_bx, valid = select_blocks(m8[..., 0], B1 // 8, cap)
         img_n = idx_n // n_i  # per-image skip features index
 
+        # Mask patch windows. Eval derives the whole pyramid from ONE packed
+        # gather of the os1 mask (halo 32) + in-patch max-pools — the per-scale
+        # C=1 gathers lower to serialized slice loops on TPU (~1 ms/frame of
+        # the round-2 forward). Pool support was sized so every window below is
+        # exact (real neighbor-block data, zeros only beyond the image).
+        # Train keeps per-scale differentiable gathers.
+        if not train:
+            p1 = gather_mask_patches(m1, idx_n, idx_by, idx_bx, 64, 32,
+                                     differentiable=False)       # (cap,128,128,1)
+            pool = lambda x: jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+                [(0, 0), (0, 0), (0, 0), (0, 0)])
+            p2 = pool(p1[:, 1:, 1:])                             # os2 [-15,47]
+            p4 = pool(p2)                                        # os4 [-7,23]
+            p8 = pool(p4)                                        # os8 [-3,11]
+
+            def in_bounds(win, lo, blk, limit):
+                # zero sites whose ABSOLUTE index falls outside the dense map:
+                # the dense pyramid has no output row H/s (its pool is floor-
+                # sized) even though that row's window touches real data
+                ys = idx_by[:, None] * blk + jnp.arange(lo, lo + win.shape[1])
+                xs = idx_bx[:, None] * blk + jnp.arange(lo, lo + win.shape[2])
+                ok = (((ys >= 0) & (ys < limit[0]))[:, :, None]
+                      & ((xs >= 0) & (xs < limit[1]))[:, None, :])
+                return win * ok[..., None].astype(win.dtype)
+
+            m1p4 = p1[:, 28:100, 28:100]                         # os1 [-4,68)
+            m2p2 = in_bounds(p2[:, 13:49, 13:49], -2, 32, (H // 2, W // 2))
+            m4p6 = in_bounds(p4[:, 1:29, 1:29], -6, 16, (H // 4, W // 4))
+            m8p = in_bounds(p8[:, 0:14, 0:14], -3, 8, (H // 8, W // 8))
+        else:
+            m8p = m4p6 = m2p2 = m1p4 = None
+
         def core_window(size: int, lo: int, hi: int) -> jax.Array:
             w_ = jnp.zeros((1, size, size, 1), jnp.float32)
             return w_.at[:, lo:hi, lo:hi].set(1.0)
@@ -241,8 +274,9 @@ class ResShortCutInstMattSpconvDec(nn.Module):
 
         # ---- rung 1: os8 -> os4 (core 16, os4 halo 4) ----
         x8p = gather_patches(x8, idx_n, idx_by, idx_bx, 8, 3)          # (cap,14,14,C)
-        m8p = gather_patches(m8, idx_n, idx_by, idx_bx, 8, 3)
-        m4p6 = gather_patches(m4, idx_n, idx_by, idx_bx, 16, 6)        # (cap,28,28,1)
+        if train:
+            m8p = gather_patches(m8, idx_n, idx_by, idx_bx, 8, 3)
+            m4p6 = gather_patches(m4, idx_n, idx_by, idx_bx, 16, 6)    # (cap,28,28,1)
         z = self.l3_inv(x8p, m8p, m4p6)                                # (cap,28,28,64)
         z = z[:, 2:26, 2:26]                                           # os4 halo 4
         m4p = m4p6[:, 2:26, 2:26]
@@ -262,40 +296,86 @@ class ResShortCutInstMattSpconvDec(nn.Module):
         h4 = h4 * m4p.astype(dt) + (-99.0) * (1.0 - m4p.astype(dt))
         x_os4 = scatter_blocks(h4[:, 4:20, 4:20], idx_n, idx_by, idx_bx, valid,
                                (N, H // 4, W // 4, 1), fill=-99.0)
-        x4_dense = scatter_blocks(z[:, 4:20, 4:20], idx_n, idx_by, idx_bx, valid,
-                                  (N, H // 4, W // 4, z.shape[-1]), fill=0.0)
+        from jax.ad_checkpoint import checkpoint_name
 
         # ---- rung 2: os4 -> os2 (core 32, no spatial convs after inverse) ----
-        x4p = gather_patches(x4_dense, idx_n, idx_by, idx_bx, 16, 1)   # (cap,18,18,64)
-        m4p1 = m4p6[:, 5:23, 5:23]  # halo-1 window of the halo-6 gather above
-        m2p2 = gather_mask_patches(m2, idx_n, idx_by, idx_bx, 32, 2,
-                                   differentiable=train)               # (cap,36,36,1)
-        z = self.l4_inv(x4p, m4p1, m2p2)                               # (cap,36,36,32)
-        m2p = m2p2[:, 2:34, 2:34]
-        z = lr(self.l4_bn(z, m2p2, train, stats_mask=stats(m2p2, 36, 2, 34)))[:, 2:34, 2:34]
+        # Eval FUSES the rung handoff: instead of scattering cores to a dense
+        # buffer and re-gathering with halo (two full-map round-trips per rung,
+        # ~1 ms/frame), the next rung slices its input window straight out of
+        # the current rung's patch stack — the extra halo sites are recomputed
+        # locally and are exactly the oracle's values (the chain is local, and
+        # inactive sites are zero under the masked semantics either way).
+        # Train keeps the dense handoff: its backward is the tested scatter-add
+        # and BN stats need the core-window bookkeeping of the dense layout.
+        if train:
+            x4_dense = scatter_blocks(z[:, 4:20, 4:20], idx_n, idx_by, idx_bx, valid,
+                                      (N, H // 4, W // 4, z.shape[-1]), fill=0.0)
+            x4_dense = checkpoint_name(x4_dense, "stage")
+            x4p = gather_patches(x4_dense, idx_n, idx_by, idx_bx, 16, 1)  # (cap,18,18,64)
+            m4p1 = m4p6[:, 5:23, 5:23]
+            m2p2 = gather_mask_patches(m2, idx_n, idx_by, idx_bx, 32, 2,
+                                       differentiable=True)            # (cap,36,36,1)
+            m2w = m2p2
+        else:
+            x4p = z[:, 3:22, 3:22]        # os4 sites [-1,17], valid by halo recompute
+            m4p1 = m4p6[:, 5:24, 5:24]
+            m2w = in_bounds(p2[:, 13:51, 13:51], -2, 32, (H // 2, W // 2))  # 38-wide
+        z = self.l4_inv(x4p, m4p1, m2w)   # train (cap,36,36,32); eval (cap,38,38,32)
+        if not train:
+            z = z[:, 0:36, 0:36]          # os2 [-2,34)
+        z = lr(self.l4_bn(z, m2p2, train, stats_mask=stats(m2p2, 36, 2, 34)))
+        if train:
+            m2p = m2p2[:, 2:34, 2:34]
+            z = z[:, 2:34, 2:34]
+        else:
+            m2p = m2p2                    # keep the full [-2,34) window through
         z = self.l4_subm(z, m2p)
-        f2p = gather_patches(fea2, img_n, idx_by, idx_bx, 32, 0) * m2p.astype(dt)
+        f2p = gather_patches(fea2, img_n, idx_by, idx_bx, 32,
+                             0 if train else 2) * m2p.astype(dt)
         z = jnp.concatenate([f2p, z], axis=-1)
         z = self.l4s_bn(nn.relu(self.l4s_conv(z, m2p)), m2p, train,
-                        stats_mask=m2p * vmask)  # halo-free patch: all core
-        x2_dense = scatter_blocks(z, idx_n, idx_by, idx_bx, valid,
-                                  (N, H // 2, W // 2, z.shape[-1]), fill=0.0)
+                        stats_mask=(m2p * vmask if train else None))
 
         # ---- rung 3: os2 -> os1 (core 64, os1 halo 3) ----
         if self.phase_rung and not train and not self.is_initializing():
+            x2_dense = scatter_blocks(z[:, 2:34, 2:34], idx_n, idx_by, idx_bx,
+                                      valid, (N, H // 2, W // 2, z.shape[-1]),
+                                      fill=0.0)
             x_os1 = self._rung3_phase(x2_dense, m2p2, m1, fea1, idx_n, img_n,
                                       idx_by, idx_bx, valid, N, H, W, dt)
         else:
-            x2p = gather_patches(x2_dense, idx_n, idx_by, idx_bx, 32, 2)  # (cap,36,36,32)
-            m1p4 = gather_mask_patches(m1, idx_n, idx_by, idx_bx, 64, 4,
-                                       differentiable=train)             # (cap,72,72,1)
+            if train:
+                x2_dense = scatter_blocks(z, idx_n, idx_by, idx_bx, valid,
+                                          (N, H // 2, W // 2, z.shape[-1]), fill=0.0)
+                x2_dense = checkpoint_name(x2_dense, "stage")
+                x2p = gather_patches(x2_dense, idx_n, idx_by, idx_bx, 32, 2)  # (cap,36,36,32)
+                m1p4 = gather_mask_patches(m1, idx_n, idx_by, idx_bx, 64, 4,
+                                           differentiable=True)          # (cap,72,72,1)
+            else:
+                x2p = z                   # already the [-2,34) window
             z = self.l5_inv(x2p, m2p2, m1p4)                             # (cap,72,72,32)
             z = z[:, 1:71, 1:71]                                         # os1 halo 3
             m1p = m1p4[:, 1:71, 1:71]
             s1 = stats(m1p, 70, 3, 67)
             z = lr(self.l5_bn(z, m1p, train, stats_mask=s1))
             z = self.l5_subm(z, m1p)
-            f1p = gather_patches(fea1, img_n, idx_by, idx_bx, 64, 3) * m1p.astype(dt)
+            if sc0 is not None:
+                # lazy os1 skip features (encoder.ResShortCutD.lazy_os1_shortcut):
+                # gather the 6-channel encoder input with halo 5 and run the two
+                # shortcut_0 convs in patch domain — [2:-2] is the exactly-valid
+                # interior after two 3x3 convs, bit-matching the dense branch at
+                # ~5% of its cost (the branch was ~40% of the eval forward).
+                # inner_mask zeroes the intermediate beyond the image border,
+                # where the dense pipeline's second conv saw zero padding.
+                sc0_fn, sc0_inp = sc0
+                p6 = gather_patches(sc0_inp, img_n, idx_by, idx_bx, 64, 5)
+                ys = idx_by[:, None] * 64 + jnp.arange(-5, 69)[None, :]
+                xs = idx_bx[:, None] * 64 + jnp.arange(-5, 69)[None, :]
+                inner = ((ys >= 0) & (ys < H))[:, :, None] & \
+                        ((xs >= 0) & (xs < W))[:, None, :]
+                f1p = sc0_fn(p6, inner[..., None])[:, 2:72, 2:72] * m1p.astype(dt)
+            else:
+                f1p = gather_patches(fea1, img_n, idx_by, idx_bx, 64, 3) * m1p.astype(dt)
             z = jnp.concatenate([f1p, z], axis=-1)
             z = self.l5s_bn(nn.relu(self.l5s_conv(z, m1p)), m1p, train, stats_mask=s1)
             h1 = self.os1_conv1(z, m1p)
@@ -408,6 +488,11 @@ class ResShortCutInstMattSpconvDec(nn.Module):
         fea1, fea2, fea3, fea4, fea5 = mid_fea["shortcut"]
         image = mid_fea["image"]
         h, w = image.shape[1], image.shape[2]
+        sc0 = ((mid_fea["shortcut0_fn"], mid_fea["shortcut0_input"])
+               if fea1 is None else None)
+        if sc0 is not None and (self.sparse_mode != "block" or self.phase_rung):
+            raise ValueError("lazy os1 shortcut requires sparse_mode='block' "
+                             "without phase_rung")
 
         masks5 = masks.reshape(b, n_f, masks.shape[1], masks.shape[2], masks.shape[3])
         valid_masks = (jnp.sum(masks, axis=(2, 3), keepdims=True) > 0).astype(jnp.float32)
@@ -428,6 +513,9 @@ class ResShortCutInstMattSpconvDec(nn.Module):
 
         x_os8_logit, feat8, queries, loss_max_atten, _ = self.refine_OS8(
             z, masks5, use_mask_atten=use_mask_atten, gt_mask=gt_masks, train=train)
+        from jax.ad_checkpoint import checkpoint_name
+        x_os8_logit = checkpoint_name(x_os8_logit, "stage")
+        feat8 = checkpoint_name(feat8, "stage")
         x_os8 = resize_bilinear(x_os8_logit, (h, w), align_corners=False)
         x_os8 = (jnp.tanh(x_os8) + 1.0) / 2.0
 
@@ -462,7 +550,7 @@ class ResShortCutInstMattSpconvDec(nn.Module):
 
         if self.sparse_mode == "block":
             x_os4_log, x_os1_log = self.predict_details_block(
-                feat8, unknown_os8, q, fea1, fea2, fea3, train)
+                feat8, unknown_os8, q, fea1, fea2, fea3, train, sc0=sc0)
         else:
             x_os4_log, x_os1_log = self.predict_details(
                 feat8, unknown_os8, q, fea1, fea2, fea3, train)

@@ -25,15 +25,23 @@ from ..ops.resize import resize_bilinear_nhwc
 
 class ShortcutBlock(nn.Module):
     """SNConv3x3 -> ReLU -> BN -> SNConv3x3 -> ReLU -> BN (reference ``resnet.py:167-175``,
-    note the unusual ReLU-before-BN ordering)."""
+    note the unusual ReLU-before-BN ordering).
+
+    ``inner_mask``: inside-image 0/1 mask applied to the intermediate activation.
+    When the block runs on gathered patches (the lazy os1 path), positions beyond
+    the image border carry a computed value where the dense pipeline's second
+    conv saw zero padding — masking the intermediate restores bit-parity."""
 
     planes: int
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False, update_sn: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False, update_sn: bool = False,
+                 inner_mask: jax.Array | None = None) -> jax.Array:
         x = SNConv(self.planes, (3, 3), (1, 1), (1, 1), name="conv0")(x, update_sn)
         x = nn.relu(x)
         x = BatchNorm(name="bn0")(x, train)
+        if inner_mask is not None:
+            x = x * inner_mask.astype(x.dtype)
         x = SNConv(self.planes, (3, 3), (1, 1), (1, 1), name="conv1")(x, update_sn)
         x = nn.relu(x)
         x = BatchNorm(name="bn1")(x, train)
@@ -76,44 +84,87 @@ class ResNetD(nn.Module):
 
 class ResShortCutD(nn.Module):
     """Encoder with shortcut branches (reference ``ResShortCut_D.forward``,
-    ``resnet.py:177-200``). Input NHWC with 3+num_mask channels."""
+    ``resnet.py:177-200``). Input NHWC with 3+num_mask channels.
+
+    ``lazy_os1_shortcut``: at eval, skip the dense full-resolution os1 shortcut
+    branch and instead hand the decoder a deferred function that runs
+    ``shortcut_0`` on gathered patches. The os1 branch is two 3x3 convs over the
+    full 576x1024 map — the single most expensive stage of the whole eval
+    forward (~5.9 of 14.6 ms/frame on v5e, tools/trace_forward.py) — while the
+    block-sparse ladder only ever reads it at the selected detail blocks. Eval
+    BNs are pointwise, so patch results equal the dense interior exactly.
+    Training keeps the dense branch (BN batch statistics span the full map)."""
 
     layers: tuple[int, ...] = (3, 4, 4, 2)
     num_mask: int = 1
     late_downsample: bool = False
+    lazy_os1_shortcut: bool = False
 
-    @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False, update_sn: bool = False):
+    def setup(self):
         midplanes = 64 if self.late_downsample else 32
         s = [1, 2, 1, 2] if self.late_downsample else [2, 1, 2, 1]
+        self._s = s
+        self.conv1 = SNConv(32, (3, 3), (s[0], s[0]), (1, 1), name="conv1")
+        self.bn1 = BatchNorm(name="bn1")
+        self.conv2 = SNConv(midplanes, (3, 3), (s[1], s[1]), (1, 1), name="conv2")
+        self.bn2 = BatchNorm(name="bn2")
+        self.conv3 = SNConv(64, (3, 3), (s[2], s[2]), (1, 1), name="conv3")
+        self.bn3 = BatchNorm(name="bn3")
+        self.layer1 = ResLayerEnc(64, self.layers[0], s[3], name="layer1")
+        self.layer2 = ResLayerEnc(128, self.layers[1], 2, name="layer2")
+        self.layer3 = ResLayerEnc(256, self.layers[2], 2, name="layer3")
+        self.layer_bottleneck = ResLayerEnc(512, self.layers[3], 2,
+                                            name="layer_bottleneck")
+        self.shortcut_0 = ShortcutBlock(32, name="shortcut_0")
+        self.shortcut_1 = ShortcutBlock(midplanes, name="shortcut_1")
+        self.shortcut_2 = ShortcutBlock(64, name="shortcut_2")
+        self.shortcut_3 = ShortcutBlock(128, name="shortcut_3")
+        self.shortcut_4 = ShortcutBlock(256, name="shortcut_4")
+
+    def __call__(self, x: jax.Array, train: bool = False, update_sn: bool = False):
         inp = x
-        out = SNConv(32, (3, 3), (s[0], s[0]), (1, 1), name="conv1")(x, update_sn)
-        out = BatchNorm(name="bn1")(out, train)
+        out = self.conv1(x, update_sn)
+        out = self.bn1(out, train)
         out = nn.relu(out)
-        out = SNConv(midplanes, (3, 3), (s[1], s[1]), (1, 1), name="conv2")(out, update_sn)
-        out = BatchNorm(name="bn2")(out, train)
+        out = self.conv2(out, update_sn)
+        out = self.bn2(out, train)
         x1 = nn.relu(out)
-        out = SNConv(64, (3, 3), (s[2], s[2]), (1, 1), name="conv3")(x1, update_sn)
-        out = BatchNorm(name="bn3")(out, train)
+        out = self.conv3(x1, update_sn)
+        out = self.bn3(out, train)
         out = nn.relu(out)
 
-        x2 = ResLayerEnc(64, self.layers[0], s[3], name="layer1")(out, train, update_sn)
-        x3 = ResLayerEnc(128, self.layers[1], 2, name="layer2")(x2, train, update_sn)
-        x4 = ResLayerEnc(256, self.layers[2], 2, name="layer3")(x3, train, update_sn)
-        out = ResLayerEnc(512, self.layers[3], 2, name="layer_bottleneck")(x4, train, update_sn)
+        x2 = self.layer1(out, train, update_sn)
+        x3 = self.layer2(x2, train, update_sn)
+        x4 = self.layer3(x3, train, update_sn)
+        out = self.layer_bottleneck(x4, train, update_sn)
 
-        fea1 = ShortcutBlock(32, name="shortcut_0")(inp, train, update_sn)
-        fea2 = ShortcutBlock(midplanes, name="shortcut_1")(x1, train, update_sn)
-        fea3 = ShortcutBlock(64, name="shortcut_2")(x2, train, update_sn)
-        fea4 = ShortcutBlock(128, name="shortcut_3")(x3, train, update_sn)
-        fea5 = ShortcutBlock(256, name="shortcut_4")(x4, train, update_sn)
+        mid_fea = {}
+        if self.lazy_os1_shortcut and not train:
+            fea1 = None
+            mid_fea["shortcut0_fn"] = (
+                lambda patches, inner_mask=None: self.shortcut_0(
+                    patches, train, update_sn, inner_mask))
+            mid_fea["shortcut0_input"] = inp
+        else:
+            fea1 = self.shortcut_0(inp, train, update_sn)
+        fea2 = self.shortcut_1(x1, train, update_sn)
+        fea3 = self.shortcut_2(x2, train, update_sn)
+        fea4 = self.shortcut_3(x3, train, update_sn)
+        fea5 = self.shortcut_4(x4, train, update_sn)
 
-        mid_fea = {
+        # stage tags: with remat="selective" (engine/train_step.py) exactly these
+        # boundary activations are stored; backward recomputes within stages
+        from jax.ad_checkpoint import checkpoint_name
+        fea2, fea3, fea4, fea5 = (
+            checkpoint_name(f, "stage") for f in (fea2, fea3, fea4, fea5))
+        if fea1 is not None:
+            fea1 = checkpoint_name(fea1, "stage")
+        mid_fea.update({
             "shortcut": (fea1, fea2, fea3, fea4, fea5),
             "image": inp[..., :3],
             "backbone_feat": (x2, x3, x4, out),
-        }
-        return out, mid_fea
+        })
+        return checkpoint_name(out, "stage"), mid_fea
 
 
 class ResMaskEmbedShortCutD(nn.Module):
@@ -128,6 +179,7 @@ class ResMaskEmbedShortCutD(nn.Module):
     num_mask: int = 10
     num_embed: int = 3
     late_downsample: bool = False
+    lazy_os1_shortcut: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, update_sn: bool = False):
@@ -151,7 +203,9 @@ class ResMaskEmbedShortCutD(nn.Module):
             emb = emb / (m.sum(axis=-1, keepdims=True) + 1e-6)  # (N, H, W, num_embed)
             inp = jnp.concatenate([inp, emb.astype(inp.dtype)], axis=-1)
         return ResShortCutD(self.layers, num_mask=self.num_embed,
-                            late_downsample=self.late_downsample, name="backbone")(inp, train, update_sn)
+                            late_downsample=self.late_downsample,
+                            lazy_os1_shortcut=self.lazy_os1_shortcut,
+                            name="backbone")(inp, train, update_sn)
 
 
 ENCODER_OUT_CHANNELS = {"os1": 32, "os2": 32, "os4": 64, "os8": 128, "os16": 256, "os32": 512}

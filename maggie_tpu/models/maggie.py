@@ -37,7 +37,18 @@ class MaGGIe(nn.Module):
         from . import build_decoder, build_encoder  # local import to avoid cycle
         mc = self.cfg  # flax freezes dict fields to FrozenDict: use [] access
         self.num_masks = int(mc["encoder_args"].get("num_mask", 1))
-        self.encoder = build_encoder(mc["encoder"], dict(mc["encoder_args"]))
+        enc_args = dict(mc["encoder_args"])
+        # block-sparse decoders read the os1 skip features only at selected
+        # blocks: let the encoder defer that branch to patch domain at eval
+        # (see ResShortCutD.lazy_os1_shortcut) unless explicitly overridden
+        if (mc["decoder"] in ("res_shortcut_inst_matt_spconv_22",
+                              "res_shortcut_inst_matt_spconv_temp_22")
+                and mc["decoder_args"].get("sparse_mode") == "block"
+                and not mc["decoder_args"].get("phase_rung", False)
+                and "lazy_os1_shortcut" not in enc_args
+                and mc["encoder"] in ("res_shortcut_29", "res_shortcut_embed_29")):
+            enc_args["lazy_os1_shortcut"] = True
+        self.encoder = build_encoder(mc["encoder"], enc_args)
         self.aspp = ASPP(in_channels=mc["aspp"]["in_channels"],
                          out_channels=mc["aspp"]["out_channels"], name="aspp_mod")
         self.decoder = build_decoder(mc["decoder"], dict(mc["decoder_args"]))
@@ -117,7 +128,8 @@ class MaGGIe(nn.Module):
         trans_flat = trans_gt.reshape(b * n_f, n_i, h, w) if trans_gt is not None else None
 
         embedding, mid_fea = self.encoder(inp, train=train, update_sn=update_sn)
-        embedding = self.aspp(embedding, train=train)
+        from jax.ad_checkpoint import checkpoint_name
+        embedding = checkpoint_name(self.aspp(embedding, train=train), "stage")
 
         pred = self.decoder(
             embedding, mid_fea, b=b, n_f=n_f, n_i=n_i,
