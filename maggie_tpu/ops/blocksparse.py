@@ -101,15 +101,59 @@ def _gather_patches_fwd(feat, idx_n, idx_by, idx_bx, block, halo):
 
 
 def _gather_patches_bwd(block, halo, res, g):
+    """Exact transpose of the haloed patch gather.
+
+    NOT the naive scatter-add (`.at[windows].add(g)`): XLA lowers that to a
+    serialized per-element scatter on TPU — measured 520 ms for the os1 skip
+    gather's backward ALONE in the bs4 train step (tools/trace_train.py).
+    Because `select_blocks` uses top_k, the (idx_n, by, bx) entries are DISTINCT
+    tiles, so the adjoint decomposes exactly into 9 shifted GATHERS: output
+    tile (ty, tx) receives the core of its own patch plus halo strips of the 8
+    neighbor-tile patches (looked up through a tile->slot map, zero patch when
+    the neighbor tile was not selected). All accesses are regular slices —
+    no scatter anywhere.
+    """
     shape, dtype_token, idx_n, idx_by, idx_bx = res
     dtype = dtype_token.dtype
     n, h, w, c = shape
     size = block + 2 * halo
-    ys = idx_by[:, None] * block + jnp.arange(size)[None, :]   # (cap, size)
-    xs = idx_bx[:, None] * block + jnp.arange(size)[None, :]
-    padded = jnp.zeros((n, h + 2 * halo, w + 2 * halo, c), g.dtype)
-    padded = padded.at[idx_n[:, None, None], ys[:, :, None], xs[:, None, :], :].add(g)
-    dfeat = padded[:, halo:halo + h, halo:halo + w].astype(dtype)
+    cap = g.shape[0]
+    nby, nbx = h // block, w // block
+
+    if cap > n * nby * nbx or halo >= block:
+        # padded (possibly duplicate) index entries, or halos spanning beyond
+        # the direct neighbors: exact scatter-add fallback
+        ys = idx_by[:, None] * block + jnp.arange(size)[None, :]
+        xs = idx_bx[:, None] * block + jnp.arange(size)[None, :]
+        padded = jnp.zeros((n, h + 2 * halo, w + 2 * halo, c), g.dtype)
+        padded = padded.at[idx_n[:, None, None], ys[:, :, None], xs[:, None, :], :].add(g)
+        return (padded[:, halo:halo + h, halo:halo + w].astype(dtype),
+                None, None, None)
+
+    tile_lin = idx_n * (nby * nbx) + idx_by * nbx + idx_bx        # (cap,) distinct
+    slot_of_tile = jnp.full((n * nby * nbx,), cap, jnp.int32)
+    slot_of_tile = slot_of_tile.at[tile_lin].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    sof = slot_of_tile.reshape(n, nby, nbx)
+    sof_pad = jnp.pad(sof, ((0, 0), (1, 1), (1, 1)), constant_values=cap)
+    gz = jnp.concatenate([g, jnp.zeros((1, size, size, c), g.dtype)], 0)
+
+    acc = jnp.zeros((n, nby, nbx, block, block, c), g.dtype)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if halo == 0 and (dy or dx):
+                continue
+            # patch at tile (ty+dy, tx+dx); its window overlaps tile (ty, tx) in
+            # a strip whose source/destination slices are static per shift
+            shifted = sof_pad[:, 1 + dy:1 + dy + nby, 1 + dx:1 + dx + nbx]
+            sr = {0: (halo, block), 1: (0, halo), -1: (size - halo, halo)}[dy]
+            sc = {0: (halo, block), 1: (0, halo), -1: (size - halo, halo)}[dx]
+            dr = {0: (0, block), 1: (block - halo, halo), -1: (0, halo)}[dy]
+            dc = {0: (0, block), 1: (block - halo, halo), -1: (0, halo)}[dx]
+            piece = gz[:, sr[0]:sr[0] + sr[1], sc[0]:sc[0] + sc[1], :][shifted]
+            acc = acc.at[:, :, :, dr[0]:dr[0] + dr[1],
+                         dc[0]:dc[0] + dc[1], :].add(piece)
+    dfeat = (acc.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, w, c)).astype(dtype)
     return (dfeat, None, None, None)
 
 

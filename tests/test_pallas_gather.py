@@ -56,3 +56,36 @@ def test_packed_mask_gather_indexing_exact():
                                       _gather_patches_xla)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    err_msg=f"block={block} halo={halo}")
+
+
+def test_gather_patches_backward_is_exact_transpose():
+    """The 9-shift tile-decomposed backward (ops/blocksparse.py
+    ``_gather_patches_bwd``) must equal the naive scatter-add adjoint — the
+    scatter form serialized on TPU (520 ms for one gather's backward in the
+    bs4 train step), the shift form is pure regular gathers."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from maggie_tpu.ops.blocksparse import gather_patches, select_blocks
+
+    rs = np.random.RandomState(0)
+    for (n, h, w, c, blk, halo, frac) in [
+            (3, 128, 192, 8, 32, 4, 0.5),   # partial capacity
+            (2, 64, 64, 5, 16, 6, 1.0),     # full capacity, big halo
+            (1, 64, 128, 3, 32, 0, 0.7)]:   # halo 0 (f2p train geometry)
+        feat = jnp.asarray(rs.rand(n, h, w, c).astype(np.float32))
+        mask = jnp.asarray((rs.rand(n, h, w) > 0.7).astype(np.float32))
+        cap = max(int(frac * n * (h // blk) * (w // blk)), 1)
+        idx_n, idx_by, idx_bx, _ = select_blocks(mask, blk, cap)
+        size = blk + 2 * halo
+        g = jnp.asarray(rs.rand(cap, size, size, c).astype(np.float32))
+        _, vjp = jax.vjp(
+            lambda x: gather_patches(x, idx_n, idx_by, idx_bx, blk, halo), feat)
+        got = np.asarray(vjp(g)[0])
+
+        ref = np.zeros((n, h + 2 * halo, w + 2 * halo, c), np.float32)
+        gn, ys, xs = np.asarray(g), np.asarray(idx_by) * blk, np.asarray(idx_bx) * blk
+        for p in range(cap):
+            ref[np.asarray(idx_n)[p], ys[p]:ys[p] + size, xs[p]:xs[p] + size] += gn[p]
+        np.testing.assert_allclose(got, ref[:, halo:halo + h, halo:halo + w],
+                                   atol=1e-5)

@@ -18,11 +18,12 @@ def vim_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("vim")
     rs = np.random.RandomState(0)
     split = root / "medium"
-    for vid in ["vid0", "vid1"]:
+    # heterogeneous video shapes: exercises eval_video's shape bucketing
+    # (each video pads to a canonical bucket; state stays per-video consistent)
+    for vid, (h, w) in [("vid0", (96, 128)), ("vid1", (88, 120))]:
         n_frames = 6
         (split / "fgr" / vid).mkdir(parents=True)
         for t in range(n_frames):
-            h, w = 96, 128
             Image.fromarray(rs.randint(0, 255, (h, w, 3), np.uint8)).save(
                 split / "fgr" / vid / f"{t:04d}.jpg")
             for j in range(2):
@@ -95,6 +96,19 @@ def test_video_eval_engine(vim_root, tmp_path):
     cfg = _video_cfg(vim_root, str(tmp_path / "out"))
     results = run_test(cfg)
     for k in ["MAD", "SAD", "dtSSD", "MESSDdt"]:
+        assert k in results and np.isfinite(results[k]), (k, results)
+
+
+def test_video_eval_engine_carry_memory(vim_root, tmp_path):
+    """Flag-gated FIXED ConvGRU memory carry (cfg.test.carry_memory): the hidden
+    state crosses clip windows instead of resetting (the reference's tuple-only
+    quirk drops it, engine/test.py:252-254). Must run end-to-end and produce
+    finite metrics with the carried-state extra compile."""
+    from maggie_tpu.engine.test import test as run_test
+    cfg = _video_cfg(vim_root, str(tmp_path / "out_cm"))
+    cfg.test.carry_memory = True
+    results = run_test(cfg)
+    for k in ["MAD", "SAD", "dtSSD"]:
         assert k in results and np.isfinite(results[k]), (k, results)
 
 
