@@ -264,6 +264,10 @@ def default_config() -> ConfigNode:
     ds.test.mask_dir_name = "masks_matched"
     ds.test.clip_length = 8
     ds.test.clip_overlap = 2
+    # jit-compiled device preprocessing tail for eval frames/masks (decode stays
+    # host-side; metric-side alpha/trimap prep keeps the exact host path). The
+    # north-star input-pipeline clause; off by default for bit-parity runs.
+    ds.test.device_preprocess = False
     c.dataset = ds
     return c
 

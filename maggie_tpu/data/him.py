@@ -31,7 +31,8 @@ class HIMDataset:
                  random_seed=2023, crop=(512, 512), padding_crop_p=0.1, flip_p=0.5,
                  gamma_p=0.3, add_noise_p=0.3, jpeg_p=0.1, affine_p=0.1,
                  binarized_kernel=30, downscale_mask_p=0.5, downscale_mask=True,
-                 alpha_dir_name="alphas", mask_dir_name="", **kwargs):
+                 alpha_dir_name="alphas", mask_dir_name="",
+                 device_preprocess=False, **kwargs):
         self.root_dir = root_dir
         self.split = split
         self.alpha_dir_name = alpha_dir_name
@@ -41,6 +42,10 @@ class HIMDataset:
         self.max_inst = max_inst
         # train: reference couples this to downscale_mask_p (him.py:27); eval: config flag
         self.downscale_mask = (downscale_mask_p > 0) if is_train else downscale_mask
+        # jit the frame/mask preprocessing tail on device (eval with a mask dir
+        # only; the host cv2 chain remains the parity reference)
+        self.device_preprocess = bool(device_preprocess and not is_train
+                                      and mask_dir_name)
         self.random = np.random.RandomState(random_seed)
 
         # NOTE the reference's helper names are swapped relative to use
@@ -104,6 +109,32 @@ class HIMDataset:
     def __len__(self):
         return len(self.data)
 
+    def _getitem_device(self, image_path, alpha_paths, mask_paths):
+        """Eval sample with the jit-compiled device preprocessing tail
+        (``data/device_pipeline.py``): host work shrinks to decode + the
+        metric-side alpha/trimap prep, which never leaves the exact host path."""
+        from PIL import Image
+        from .device_pipeline import device_preprocess_eval
+
+        frame = np.array(Image.open(image_path).convert("RGB"))
+        masks = np.stack([np.array(Image.open(p).convert("L"))
+                          for p in mask_paths])
+        image, mask, transform_info = device_preprocess_eval(
+            frame, masks, self.short_size, 64, self.downscale_mask)
+
+        alpha = np.stack([np.array(Image.open(p).convert("L"))
+                          for p in alpha_paths])[None].astype(np.float32) / 255.0
+        trans = gen_transition_gt(alpha[0, :, None])[:, 0][None]
+        trimap = np.zeros_like(alpha)
+        trimap[alpha > 0.5] = 2.0
+        trimap[trans > 0] = 1.0
+        return {
+            "image": image, "mask": mask, "alpha": alpha, "trimap": trimap,
+            "image_names": [image_path],
+            "alpha_names": [os.path.basename(a) for a in alpha_paths],
+            "transform_info": transform_info, "skip": 0,
+        }
+
     def __getitem__(self, index):
         image_path, alphas = self.data[index]
         if len(alphas) > self.max_inst:
@@ -114,6 +145,9 @@ class HIMDataset:
             masks = alphas
         elif self.mask_dir_name != "":
             masks = [a.replace(self.alpha_dir_name, self.mask_dir_name) for a in alphas]
+
+        if self.device_preprocess:
+            return self._getitem_device(image_path, alphas, masks)
 
         out_d = self.transforms({"frames": [image_path], "alphas": list(alphas), "masks": masks})
         image = out_d["frames"]            # (1, H, W, 3)

@@ -19,7 +19,11 @@ def _collate(samples: list[dict]) -> dict:
     out = {}
     for k in samples[0]:
         vals = [s[k] for s in samples]
-        if isinstance(vals[0], np.ndarray):
+        if type(vals[0]).__module__.split(".")[0] in ("jax", "jaxlib"):
+            # device-preprocessed tensors: stack on device, no host round-trip
+            import jax.numpy as jnp
+            out[k] = jnp.stack(vals, axis=0)
+        elif isinstance(vals[0], np.ndarray):
             out[k] = np.stack(vals, axis=0)
         elif isinstance(vals[0], (int, float)):
             out[k] = np.asarray(vals)

@@ -26,8 +26,9 @@ import numpy as np
 
 
 def synth_dataset(root, n, h=576, w=1024, n_i=3):
+    # EVAL layout: root/images/<split>/*.jpg + root/<dir>/<split>/<name>/*.png
     from cap_quality import procedural_alpha
-    img_dir = os.path.join(root, "synth", "images")
+    img_dir = os.path.join(root, "images", "synth")
     os.makedirs(img_dir, exist_ok=True)
     rs = np.random.RandomState(0)
     for s in range(n):
@@ -40,13 +41,13 @@ def synth_dataset(root, n, h=576, w=1024, n_i=3):
         name = f"im{s:04d}"
         cv2.imwrite(os.path.join(img_dir, name + ".jpg"), comp)
         for d in ("alphas", "masks"):
-            os.makedirs(os.path.join(root, "synth", d, name), exist_ok=True)
+            os.makedirs(os.path.join(root, d, "synth", name), exist_ok=True)
         for j in range(n_i):
             a8 = (alpha[j] * 255).astype(np.uint8)
-            cv2.imwrite(os.path.join(root, "synth", "alphas", name,
+            cv2.imwrite(os.path.join(root, "alphas", "synth", name,
                                      f"{j:02d}.png"), a8)
             m = ((alpha[j] > 0.5) * 255).astype(np.uint8)
-            cv2.imwrite(os.path.join(root, "synth", "masks", name,
+            cv2.imwrite(os.path.join(root, "masks", "synth", name,
                                      f"{j:02d}.png"), m)
     return root
 
@@ -54,7 +55,7 @@ def synth_dataset(root, n, h=576, w=1024, n_i=3):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/him_synth"
-    if not os.path.isdir(os.path.join(root, "synth", "images")):
+    if not os.path.isdir(os.path.join(root, "images", "synth")):
         print("synthesizing dataset...", flush=True)
         synth_dataset(root, n)
 
@@ -76,22 +77,24 @@ def main():
     model = build_model(cfg.model)
     variables = fold_spectral_norm(_init_variables(model, n_i=3))
 
-    ds = HIMDataset(root_dir=root, split="synth", short_size=576,
-                    is_train=False, alpha_dir_name="alphas",
-                    mask_dir_name="masks", downscale_mask=True)
-    print(f"{len(ds)} samples", flush=True)
-    loader = DataLoader(ds, batch_size=1, prefetch=2)
-    metrics = {"MAD": MAD(), "SAD": SAD()}
-
-    # warm pass compiles; timed pass measures steady state
-    for i, tag in ((0, "warm"), (1, "timed")):
-        t0 = time.time()
-        bt, dt_ = eval_image(model, variables, loader, log_iter=1000,
-                             val_error_dict=metrics, shape_bucketing=True)
-        wall = time.time() - t0
-        print(f"[{tag}] batch_time {bt * 1e3:.1f} ms  data_time {dt_ * 1e3:.1f} ms"
-              f"  wall {wall:.1f}s -> {len(ds) / wall:.1f} frames/s e2e",
-              flush=True)
+    for device_pre in (False, True):
+        ds = HIMDataset(root_dir=root, split="synth", short_size=576,
+                        is_train=False, alpha_dir_name="alphas",
+                        mask_dir_name="masks", downscale_mask=True,
+                        device_preprocess=device_pre)
+        loader = DataLoader(ds, batch_size=1, prefetch=2)
+        metrics = {"MAD": MAD(), "SAD": SAD()}
+        # warm pass compiles; timed pass measures steady state
+        for tag in ("warm", "timed"):
+            t0 = time.time()
+            bt, dt_ = eval_image(model, variables, loader, log_iter=1000,
+                                 val_error_dict=metrics, shape_bucketing=True)
+            wall = time.time() - t0
+            print(f"[host_pre={not device_pre} {tag}] "
+                  f"batch_time {bt * 1e3:.1f} ms  data_time {dt_ * 1e3:.1f} ms"
+                  f"  wall {wall:.1f}s -> {len(ds) / wall:.1f} frames/s e2e "
+                  f"(MAD {metrics['MAD'].average():.2f})",
+                  flush=True)
 
 
 if __name__ == "__main__":
