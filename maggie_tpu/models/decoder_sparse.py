@@ -283,7 +283,7 @@ class ResShortCutInstMattSpconvDec(nn.Module):
         s4 = stats(m4p, 24, 4, 20)
         z = lr(self.l3_bn(z, m4p, train, stats_mask=s4))
         z = self.l3_subm(z, m4p)
-        f3p = gather_patches(fea3, img_n, idx_by, idx_bx, 16, 4) * m4p.astype(dt)
+        f3p = gather_patches(fea3, img_n, idx_by, idx_bx, 16, 4, dup_bound=n_i) * m4p.astype(dt)
         cat = jnp.concatenate([f3p, z], axis=-1)
         gate = self.guide_conv1(cat, m4p)
         gate = lr(self.guide_bn(gate, m4p, train, stats_mask=s4))
@@ -331,7 +331,7 @@ class ResShortCutInstMattSpconvDec(nn.Module):
             m2p = m2p2                    # keep the full [-2,34) window through
         z = self.l4_subm(z, m2p)
         f2p = gather_patches(fea2, img_n, idx_by, idx_bx, 32,
-                             0 if train else 2) * m2p.astype(dt)
+                             0 if train else 2, dup_bound=n_i) * m2p.astype(dt)
         z = jnp.concatenate([f2p, z], axis=-1)
         z = self.l4s_bn(nn.relu(self.l4s_conv(z, m2p)), m2p, train,
                         stats_mask=(m2p * vmask if train else None))
@@ -368,14 +368,15 @@ class ResShortCutInstMattSpconvDec(nn.Module):
                 # inner_mask zeroes the intermediate beyond the image border,
                 # where the dense pipeline's second conv saw zero padding.
                 sc0_fn, sc0_inp = sc0
-                p6 = gather_patches(sc0_inp, img_n, idx_by, idx_bx, 64, 5)
+                p6 = gather_patches(sc0_inp, img_n, idx_by, idx_bx, 64, 5, dup_bound=n_i)
                 ys = idx_by[:, None] * 64 + jnp.arange(-5, 69)[None, :]
                 xs = idx_bx[:, None] * 64 + jnp.arange(-5, 69)[None, :]
                 inner = ((ys >= 0) & (ys < H))[:, :, None] & \
                         ((xs >= 0) & (xs < W))[:, None, :]
                 f1p = sc0_fn(p6, inner[..., None])[:, 2:72, 2:72] * m1p.astype(dt)
             else:
-                f1p = gather_patches(fea1, img_n, idx_by, idx_bx, 64, 3) * m1p.astype(dt)
+                f1p = gather_patches(fea1, img_n, idx_by, idx_bx, 64, 3,
+                                     dup_bound=n_i) * m1p.astype(dt)
             z = jnp.concatenate([f1p, z], axis=-1)
             z = self.l5s_bn(nn.relu(self.l5s_conv(z, m1p)), m1p, train, stats_mask=s1)
             h1 = self.os1_conv1(z, m1p)

@@ -77,15 +77,21 @@ def _gather_patches_xla(feat: jax.Array, idx_n, idx_by, idx_bx, block: int, halo
     return jax.vmap(one)(idx_n, idx_by, idx_bx)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def gather_patches(feat: jax.Array, idx_n, idx_by, idx_bx, block: int, halo: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def gather_patches(feat: jax.Array, idx_n, idx_by, idx_bx, block: int, halo: int,
+                   dup_bound: int = 1):
     """feat: (N, H, W, C); returns (cap, block + 2*halo, block + 2*halo, C).
 
     Patch p covers rows [by*block - halo, by*block + block + halo); the map is
     zero-padded by halo so slices never clamp. Forward runs the Pallas DMA
-    kernel on TPU backends (see ``ops/pallas/gather.py``); backward is the XLA
-    scatter-add of patch cotangents (patches overlap by their halos, so
-    contributions accumulate).
+    kernel on TPU backends (see ``ops/pallas/gather.py``); backward is the
+    tile-grid shift decomposition (no scatters — see ``_gather_patches_bwd``).
+
+    ``dup_bound``: max number of entries sharing one (idx_n, by, bx) tile.
+    1 for per-instance gathers (select_blocks top_k indices are distinct);
+    pass n_i for per-IMAGE gathers indexed with ``idx_n // n_i`` — up to n_i
+    instances legitimately read the same image tile and their cotangents must
+    sum.
     """
     if _use_pallas_gather():
         from .pallas.gather import gather_patches_pallas, supports_pallas_gather
@@ -94,23 +100,24 @@ def gather_patches(feat: jax.Array, idx_n, idx_by, idx_bx, block: int, halo: int
     return _gather_patches_xla(feat, idx_n, idx_by, idx_bx, block, halo)
 
 
-def _gather_patches_fwd(feat, idx_n, idx_by, idx_bx, block, halo):
-    out = gather_patches(feat, idx_n, idx_by, idx_bx, block, halo)
+def _gather_patches_fwd(feat, idx_n, idx_by, idx_bx, block, halo, dup_bound=1):
+    out = gather_patches(feat, idx_n, idx_by, idx_bx, block, halo, dup_bound)
     dtype_token = jnp.zeros((), feat.dtype)
     return out, (feat.shape, dtype_token, idx_n, idx_by, idx_bx)
 
 
-def _gather_patches_bwd(block, halo, res, g):
+def _gather_patches_bwd(block, halo, dup_bound, res, g):
     """Exact transpose of the haloed patch gather.
 
     NOT the naive scatter-add (`.at[windows].add(g)`): XLA lowers that to a
     serialized per-element scatter on TPU — measured 520 ms for the os1 skip
     gather's backward ALONE in the bs4 train step (tools/trace_train.py).
-    Because `select_blocks` uses top_k, the (idx_n, by, bx) entries are DISTINCT
-    tiles, so the adjoint decomposes exactly into 9 shifted GATHERS: output
-    tile (ty, tx) receives the core of its own patch plus halo strips of the 8
-    neighbor-tile patches (looked up through a tile->slot map, zero patch when
-    the neighbor tile was not selected). All accesses are regular slices —
+    Instead: (1) route each cap entry to a unique (tile, duplicate-rank) slot
+    — select_blocks top_k makes entries distinct per tile for per-instance
+    gathers; per-image gathers have up to ``dup_bound`` instances per tile,
+    disambiguated by a sort-derived rank; (2) one gather arranges the patch
+    cotangents on the TILE GRID, summing duplicates; (3) the overlap structure
+    is then 9 STATIC shifted strip adds (own core + 8 neighbor halo strips) —
     no scatter anywhere.
     """
     shape, dtype_token, idx_n, idx_by, idx_bx = res
@@ -119,10 +126,11 @@ def _gather_patches_bwd(block, halo, res, g):
     size = block + 2 * halo
     cap = g.shape[0]
     nby, nbx = h // block, w // block
+    n_tiles = n * nby * nbx
 
-    if cap > n * nby * nbx or halo >= block:
-        # padded (possibly duplicate) index entries, or halos spanning beyond
-        # the direct neighbors: exact scatter-add fallback
+    if cap > n_tiles * dup_bound or halo >= block:
+        # more duplicates than declared, or halos spanning beyond the direct
+        # neighbors: exact scatter-add fallback
         ys = idx_by[:, None] * block + jnp.arange(size)[None, :]
         xs = idx_bx[:, None] * block + jnp.arange(size)[None, :]
         padded = jnp.zeros((n, h + 2 * halo, w + 2 * halo, c), g.dtype)
@@ -130,29 +138,37 @@ def _gather_patches_bwd(block, halo, res, g):
         return (padded[:, halo:halo + h, halo:halo + w].astype(dtype),
                 None, None, None)
 
-    tile_lin = idx_n * (nby * nbx) + idx_by * nbx + idx_bx        # (cap,) distinct
-    slot_of_tile = jnp.full((n * nby * nbx,), cap, jnp.int32)
-    slot_of_tile = slot_of_tile.at[tile_lin].set(
-        jnp.arange(cap, dtype=jnp.int32), mode="drop")
-    sof = slot_of_tile.reshape(n, nby, nbx)
-    sof_pad = jnp.pad(sof, ((0, 0), (1, 1), (1, 1)), constant_values=cap)
+    tile_lin = (idx_n * (nby * nbx) + idx_by * nbx + idx_bx).astype(jnp.int32)
+    if dup_bound > 1:
+        order = jnp.argsort(tile_lin)
+        sk = tile_lin[order]
+        rank_sorted = (jnp.arange(cap) -
+                       jnp.searchsorted(sk, sk, side="left")).astype(jnp.int32)
+        rank = jnp.zeros((cap,), jnp.int32).at[order].set(rank_sorted)
+        key = tile_lin * dup_bound + rank                      # unique
+    else:
+        key = tile_lin                                         # distinct by top_k
+    slot = jnp.full((n_tiles * dup_bound,), cap, jnp.int32)
+    slot = slot.at[key].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
     gz = jnp.concatenate([g, jnp.zeros((1, size, size, c), g.dtype)], 0)
+    gt = gz[slot].reshape(n, nby, nbx, dup_bound, size, size, c).sum(3)
+    gtp = jnp.pad(gt, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
 
-    acc = jnp.zeros((n, nby, nbx, block, block, c), g.dtype)
+    acc = gt[:, :, :, halo:halo + block, halo:halo + block, :]
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            if halo == 0 and (dy or dx):
+            if (dy, dx) == (0, 0) or halo == 0:
                 continue
-            # patch at tile (ty+dy, tx+dx); its window overlaps tile (ty, tx) in
-            # a strip whose source/destination slices are static per shift
-            shifted = sof_pad[:, 1 + dy:1 + dy + nby, 1 + dx:1 + dx + nbx]
+            # the patch at tile (ty+dy, tx+dx) overlaps tile (ty, tx) in a
+            # strip with static source/destination slices
             sr = {0: (halo, block), 1: (0, halo), -1: (size - halo, halo)}[dy]
             sc = {0: (halo, block), 1: (0, halo), -1: (size - halo, halo)}[dx]
             dr = {0: (0, block), 1: (block - halo, halo), -1: (0, halo)}[dy]
             dc = {0: (0, block), 1: (block - halo, halo), -1: (0, halo)}[dx]
-            piece = gz[:, sr[0]:sr[0] + sr[1], sc[0]:sc[0] + sc[1], :][shifted]
+            strip = gtp[:, 1 + dy:1 + dy + nby, 1 + dx:1 + dx + nbx,
+                        sr[0]:sr[0] + sr[1], sc[0]:sc[0] + sc[1], :]
             acc = acc.at[:, :, :, dr[0]:dr[0] + dr[1],
-                         dc[0]:dc[0] + dc[1], :].add(piece)
+                         dc[0]:dc[0] + dc[1], :].add(strip)
     dfeat = (acc.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, w, c)).astype(dtype)
     return (dfeat, None, None, None)
 

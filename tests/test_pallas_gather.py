@@ -89,3 +89,34 @@ def test_gather_patches_backward_is_exact_transpose():
             ref[np.asarray(idx_n)[p], ys[p]:ys[p] + size, xs[p]:xs[p] + size] += gn[p]
         np.testing.assert_allclose(got, ref[:, halo:halo + h, halo:halo + w],
                                    atol=1e-5)
+
+
+def test_gather_patches_backward_with_duplicate_image_tiles():
+    """Per-image gathers (idx // n_i) have up to n_i entries per tile; the
+    dedup-rank path must sum their cotangents exactly like the scatter-add."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from maggie_tpu.ops.blocksparse import gather_patches
+
+    rs = np.random.RandomState(1)
+    n_img, n_i, h, w, c, blk, halo = 2, 3, 128, 128, 8, 32, 4
+    feat = jnp.asarray(rs.rand(n_img, h, w, c).astype(np.float32))
+    cap = 20
+    # instance-style indices with heavy overlap, then mapped per-image
+    img_n = jnp.asarray(rs.randint(0, n_img, cap).astype(np.int32))
+    idx_by = jnp.asarray(rs.randint(0, h // blk, cap).astype(np.int32))
+    idx_bx = jnp.asarray(rs.randint(0, w // blk, cap).astype(np.int32))
+    size = blk + 2 * halo
+    g = jnp.asarray(rs.rand(cap, size, size, c).astype(np.float32))
+    _, vjp = jax.vjp(lambda x: gather_patches(x, img_n, idx_by, idx_bx, blk,
+                                              halo, dup_bound=cap), feat)
+    got = np.asarray(vjp(g)[0])
+
+    ref = np.zeros((n_img, h + 2 * halo, w + 2 * halo, c), np.float32)
+    gn = np.asarray(g)
+    for p in range(cap):
+        y0, x0 = int(idx_by[p]) * blk, int(idx_bx[p]) * blk
+        ref[int(img_n[p]), y0:y0 + size, x0:x0 + size] += gn[p]
+    np.testing.assert_allclose(got, ref[:, halo:halo + h, halo:halo + w],
+                               atol=1e-5)

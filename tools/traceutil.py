@@ -33,12 +33,14 @@ def device_op_times(trace_dir: str, n_iters: int, top: int = 40) -> float:
     for e in data.get("traceEvents", []):
         if e.get("ph") != "X":
             continue
-        label = (pid_names.get(e.get("pid"), "") + " " +
-                 tid_names.get((e.get("pid"), e.get("tid")), "")).lower()
+        tname = tid_names.get((e.get("pid"), e.get("tid")), "").lower()
+        label = (pid_names.get(e.get("pid"), "") + " " + tname).lower()
         if not any(k in label for k in ("tpu", "device", "xla ops", "axon")):
             continue
-        if "step" in label.split()[-1:]:
+        if "step" in tname:  # whole-step umbrella track, not an op
             continue
+        if e.get("name", "").startswith(("jit_", "jit(")):
+            continue  # module umbrella event duplicating its ops
         name = e.get("name", "?")
         dur = e.get("dur", 0) / 1e3
         dur_by_op[name] += dur
