@@ -97,13 +97,43 @@ def gen_alpha_backend(root: str, subsets: list[str], name: str, variant: str,
     return n_written
 
 
+def gen_onnx_backend(root: str, subsets: list[str], name: str) -> int:
+    """A REAL detector backend: the public MaskRCNN-10 ONNX model through
+    ``demo/segmenters.MaskRCNNOnnxSegmenter`` (raises with its setup recipe if
+    onnxruntime / the model file are missing). Same person-class + score>0.7
+    selection and 2%-area filter as the reference's detectron2 script."""
+    from PIL import Image
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", "demo"))
+    from segmenters import MaskRCNNOnnxSegmenter, label_map_to_instances
+
+    seg = MaskRCNNOnnxSegmenter(score_threshold=MIN_SCORE_NOTE)
+    n_written = 0
+    for subset in subsets:
+        images = sorted(glob.glob(os.path.join(root, "images", subset, "*.jpg")))
+        for image in images:
+            base = os.path.splitext(os.path.basename(image))[0]
+            _, label_map = seg.segment(Image.open(image).convert("RGB"))
+            odir = os.path.join(root, f"masks_{name}", subset, base)
+            os.makedirs(odir, exist_ok=True)
+            idx = 0
+            h, w = label_map.shape
+            for m in label_map_to_instances(label_map):
+                if (m > 0).sum() / float(h * w) < MIN_AREA_RATIO:
+                    continue
+                cv2.imwrite(os.path.join(odir, "%02d.png" % idx), m)
+                idx += 1
+                n_written += 1
+    return n_written
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
     ap.add_argument("--root", required=True, help="HIM2K root (images/<subset>/, alphas/<subset>/)")
     ap.add_argument("--subsets", nargs="+", default=["natural", "comp"])
     ap.add_argument("--name", required=True, help="output suffix: masks_<name>/")
     ap.add_argument("--variant", default="perturb", choices=sorted(VARIANTS))
-    ap.add_argument("--backend", default="alpha", choices=["alpha", "detectron2"])
+    ap.add_argument("--backend", default="alpha",
+                    choices=["alpha", "onnx", "detectron2"])
     ap.add_argument("--alpha-dir", default="alphas")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -113,10 +143,14 @@ def main() -> None:
             "The detectron2 backend needs the detectron2 package and COCO MaskRCNN "
             "weights (neither installable offline). Run the recipe in "
             "tools/gen_mask/README.md inside a detectron2 checkout; the output layout "
-            "it produces is identical to this tool's.")
+            "it produces is identical to this tool's. For a real detector that "
+            "works with one pip install + one file, use --backend onnx.")
 
-    n = gen_alpha_backend(args.root, args.subsets, args.name, args.variant,
-                          args.alpha_dir, args.seed)
+    if args.backend == "onnx":
+        n = gen_onnx_backend(args.root, args.subsets, args.name)
+    else:
+        n = gen_alpha_backend(args.root, args.subsets, args.name, args.variant,
+                              args.alpha_dir, args.seed)
     print(f"wrote {n} masks under {args.root}/masks_{args.name}/")
 
 
