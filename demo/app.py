@@ -31,9 +31,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(__file__))
 
 from predict import build, preprocess  # noqa: E402
-from segmenters import (MaskFileSegmenter, MaskRCNNOnnxSegmenter,  # noqa: E402
-                        Sam2Propagator, XMemPropagator, _overlay,
-                        label_map_to_instances)
+from segmenters import (FlowPropagator, MaskFileSegmenter,  # noqa: E402
+                        MaskRCNNOnnxSegmenter, Sam2Propagator, XMemPropagator,
+                        _overlay, label_map_to_instances)
 from maggie_tpu.utils.postprocess import reverse_transform  # noqa: E402
 
 _STATE: dict = {}
@@ -85,26 +85,59 @@ def inference_image(args, image: Image.Image, mask_files: list[str] | None):
     return vis, _matte_composites(image, alpha[0, 0])
 
 
+def _propagated_masks(frames_dir, frame_names, masks_dir, propagator):
+    """Per-frame instance-mask lists when ``masks_dir`` covers only the FIRST
+    frame: run the chosen propagator (flow works offline; xmem/sam2 raise their
+    recipes) over the whole sequence once, mirroring the reference's
+    XMem/SAM2 preprocessing pass (``demo/app.py:35-43``)."""
+    prop = {"flow": FlowPropagator, "xmem": XMemPropagator,
+            "sam2": Sam2Propagator}[propagator]()
+    frames = [Image.open(os.path.join(frames_dir, f)) for f in frame_names]
+    mdir0 = (os.path.join(masks_dir, os.path.splitext(frame_names[0])[0])
+             if masks_dir else "")
+    if os.path.isdir(mdir0):
+        first = [np.array(Image.open(os.path.join(mdir0, m)).convert("L"))
+                 for m in sorted(os.listdir(mdir0))]
+        label = np.zeros_like(first[0], dtype=np.uint8)
+        for i, m in enumerate(first):
+            label[(m > 127) & (label == 0)] = i + 1
+        n = len(first)
+    else:  # no masks at all: detect people on the first frame
+        _, label = MaskRCNNOnnxSegmenter().segment(frames[0])
+        n = int(label.max())
+    label_maps = prop.propagate(frames, label)
+    return [[((lm == i + 1) * 255).astype(np.uint8) for i in range(n)]
+            for lm in label_maps]
+
+
 def inference_video(args, frames_dir: str, masks_dir: str | None,
                     propagator: str, out_dir: str):
     """Streaming video matting over a frame directory. ``masks_dir`` holds one
-    subdir per frame with per-instance PNGs (what XMem/SAM2 would emit); when
-    absent, the chosen propagator backend is constructed (raising its recipe)."""
-    if not masks_dir:
-        {"xmem": XMemPropagator, "sam2": Sam2Propagator}[propagator]()
+    subdir per frame with per-instance PNGs (what XMem/SAM2 would emit); if it
+    covers only the first frame — or is absent entirely (MaskRCNN detects on
+    frame 0) — the propagator backend fills in the rest (``flow`` runs offline
+    today; xmem/sam2 raise their recipes)."""
     model, variables = _video_model(args)
     frame_names = sorted(os.listdir(frames_dir))
+    have_all = bool(masks_dir) and all(
+        os.path.isdir(os.path.join(masks_dir, os.path.splitext(f)[0]))
+        for f in frame_names)
+    per_frame = (None if have_all else
+                 _propagated_masks(frames_dir, frame_names, masks_dir, propagator))
     prev_pred = None
     os.makedirs(out_dir, exist_ok=True)
     written = []
     for start in range(0, max(len(frame_names) - 2, 1)):
         clip = frame_names[start:start + 3]
         frames = [Image.open(os.path.join(frames_dir, f)) for f in clip]
-        inst = []
-        for f in clip:
-            mdir = os.path.join(masks_dir, os.path.splitext(f)[0])
-            inst.append([np.array(Image.open(os.path.join(mdir, m)).convert("L"))
-                         for m in sorted(os.listdir(mdir))])
+        if per_frame is not None:
+            inst = [per_frame[start + t] for t in range(len(clip))]
+        else:
+            inst = []
+            for f in clip:
+                mdir = os.path.join(masks_dir, os.path.splitext(f)[0])
+                inst.append([np.array(Image.open(os.path.join(mdir, m)).convert("L"))
+                             for m in sorted(os.listdir(mdir))])
         batch, tinfo = preprocess(frames, inst)
         out = model.apply(variables, batch, train=False, prev_pred=prev_pred)
         refined = out["refined_masks"]
@@ -155,7 +188,8 @@ def launch_gradio(args):
         vid_fn,
         inputs=[gr.Textbox(label="Frames directory"),
                 gr.Textbox(label="Masks directory (optional)"),
-                gr.Radio(["xmem", "sam2"], value="xmem", label="Propagator")],
+                gr.Radio(["flow", "xmem", "sam2"], value="flow",
+                         label="Propagator")],
         outputs=gr.Gallery(label="Matte composites"),
         description="Streaming video matting.")
 
@@ -180,7 +214,7 @@ Instance masks (optional; else MaskRCNN backend):
 <form method=post action=/video>
 Frames dir: <input name=frames size=40><br>
 Masks dir (optional): <input name=masks size=40><br>
-Propagator: <select name=prop><option>xmem</option><option>sam2</option></select>
+Propagator: <select name=prop><option>flow</option><option>xmem</option><option>sam2</option></select>
 <input type=submit value="Run matting"></form></div>"""
 
 
@@ -236,7 +270,7 @@ def launch_http(args):
                     files = inference_video(
                         args, q["frames"][0],
                         (q.get("masks") or [None])[0] or None,
-                        (q.get("prop") or ["xmem"])[0], tempfile.mkdtemp())
+                        (q.get("prop") or ["flow"])[0], tempfile.mkdtemp())
                     self._send(200, "<br>".join(files))
                 else:
                     self._send(404, "not found")

@@ -142,6 +142,48 @@ class MaskRCNNOnnxSegmenter:
         return _overlay(image, label_map), label_map
 
 
+class FlowPropagator:
+    """Offline-working video mask propagation: Farneback dense optical flow
+    (cv2, no learned weights) warps the first frame's label map forward frame
+    by frame via backward sampling + nearest remap.
+
+    Fills the role XMem/SAM2 play in the reference demo (``demo/app.py:35-43``)
+    with what this box can run today; the learned propagators remain available
+    as plug-in backends below for users who have their weights. Accuracy is
+    what classical flow gives — solid on moderate motion, no re-detection on
+    occlusion — which is exactly the guidance-quality regime MaGGIe is built
+    to refine (degraded masks, reference ``tools/gen_mask``)."""
+
+    def __init__(self, pyr_scale: float = 0.5, levels: int = 4,
+                 winsize: int = 21, iterations: int = 5):
+        self.params = dict(pyr_scale=pyr_scale, levels=levels, winsize=winsize,
+                           iterations=iterations, poly_n=5, poly_sigma=1.1,
+                           flags=0)
+
+    def propagate(self, frames, first_mask):
+        import cv2
+        grays = [cv2.cvtColor(np.array(f.convert("RGB")), cv2.COLOR_RGB2GRAY)
+                 for f in frames]
+        h, w = grays[0].shape
+        gx, gy = np.meshgrid(np.arange(w, dtype=np.float32),
+                             np.arange(h, dtype=np.float32))
+        out = [first_mask.astype(np.uint8)]
+        for t in range(1, len(grays)):
+            # flow from frame t BACK to t-1: for each target pixel, where it
+            # came from — lets us pull labels with one nearest-neighbour remap
+            flow = cv2.calcOpticalFlowFarneback(grays[t], grays[t - 1], None,
+                                                **self.params)
+            warped = cv2.remap(out[-1], gx + flow[..., 0], gy + flow[..., 1],
+                               interpolation=cv2.INTER_NEAREST,
+                               borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+            # close pinholes the flow field opens inside instances
+            warped = cv2.morphologyEx(
+                warped, cv2.MORPH_CLOSE,
+                cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (5, 5)))
+            out.append(warped)
+        return out
+
+
 class XMemPropagator:
     RECIPE = (
         "XMem propagation needs the upstream repo + checkpoint: "

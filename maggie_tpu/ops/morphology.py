@@ -20,6 +20,20 @@ import numpy as np
 LOWER_THRES = 1.0 / 255.0
 UPPER_THRES = 254.0 / 255.0
 
+# eval-mode compute_unknown backend: "auto" = Pallas fused kernel on TPU
+# (bit-identical to the XLA path — tests/test_pallas_unknown.py — but immune
+# to the bad layouts XLA assigns these C=1 map chains inside large eval
+# graphs; 2x faster even isolated on v5e), XLA elsewhere
+PALLAS_UNKNOWN = "auto"
+
+
+def _use_pallas_unknown() -> bool:
+    if PALLAS_UNKNOWN == "on":
+        return True
+    if PALLAS_UNKNOWN == "off":
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
 
 @functools.lru_cache(maxsize=64)
 def ellipse_kernel(width: int) -> np.ndarray:
@@ -170,10 +184,14 @@ def compute_unknown(
     fixed width ``k_size // 2``; train randomizes the width per map (pass ``rng``).
     Returns a 0/1 map with the input's dtype semantics (uint8-like float mask).
     """
-    uncertain = ((masks > lower_thres) & (masks < upper_thres)).astype(jnp.float32)
     if is_train:
         assert rng is not None, "compute_unknown(is_train=True) needs an rng"
+        uncertain = ((masks > lower_thres) & (masks < upper_thres)).astype(jnp.float32)
         out = dilate_ellipse_random(uncertain, k_size, rng)
-    else:
-        out = dilate_ellipse(uncertain, k_size // 2)
+        return out.astype(masks.dtype)
+    if _use_pallas_unknown() and lower_thres == LOWER_THRES and upper_thres == UPPER_THRES:
+        from .pallas.unknown import compute_unknown_pallas
+        return compute_unknown_pallas(masks, k_size=k_size)
+    uncertain = ((masks > lower_thres) & (masks < upper_thres)).astype(jnp.float32)
+    out = dilate_ellipse(uncertain, k_size // 2)
     return out.astype(masks.dtype)

@@ -102,3 +102,84 @@ def test_app_inference_image_with_tiny_model(tmp_path, monkeypatch):
         empty = tmp_path / "empty.png"
         Image.fromarray(np.zeros((64, 64), np.uint8)).save(empty)
         app.inference_image(Args(), img, [str(empty)])
+
+
+def test_flow_propagator_tracks_moving_object():
+    """FlowPropagator (the offline-working stand-in for XMem/SAM2,
+    reference demo/app.py:35-43) must follow a textured square translating
+    over a textured background with high IoU on every frame."""
+    from segmenters import FlowPropagator
+
+    rs = np.random.RandomState(3)
+    h, w, size, step = 96, 128, 36, 4
+    bg = (rs.rand(h, w, 3) * 200).astype(np.uint8)
+    patch = (rs.rand(size, size, 3) * 255).astype(np.uint8)
+    frames, gts = [], []
+    for t in range(6):
+        x0, y0 = 8 + step * t, 24 + step * t // 2
+        img = bg.copy()
+        img[y0:y0 + size, x0:x0 + size] = patch
+        gt = np.zeros((h, w), np.uint8)
+        gt[y0:y0 + size, x0:x0 + size] = 1
+        frames.append(Image.fromarray(img))
+        gts.append(gt)
+
+    out = FlowPropagator().propagate(frames, gts[0])
+    assert len(out) == len(frames)
+    ious = []
+    for t in range(1, len(frames)):
+        inter = np.logical_and(out[t] == 1, gts[t] == 1).sum()
+        union = np.logical_or(out[t] == 1, gts[t] == 1).sum()
+        ious.append(inter / union)
+    # classical flow drifts linearly (boundary smoothing is inherent to
+    # Farneback) — assert near-perfect tracking at 1 step and bounded drift
+    # over 5, the degraded-guidance regime MaGGIe refines
+    assert ious[0] > 0.85, f"frame 1: IoU {ious[0]:.3f}"
+    assert min(ious) > 0.6, f"worst IoU {min(ious):.3f}"
+
+
+def test_video_inference_first_frame_only_masks(tmp_path, monkeypatch):
+    """app.inference_video with masks for only frame 0: the flow propagator
+    fills the remaining frames and the streaming model consumes them."""
+    import app
+    from predict import preprocess
+
+    from maggie_tpu.config import load_config
+    from maggie_tpu.models import build_model
+    import jax
+
+    rs = np.random.RandomState(5)
+    h = w = 64
+    bg = (rs.rand(h, w, 3) * 200).astype(np.uint8)
+    patch = (rs.rand(24, 24, 3) * 255).astype(np.uint8)
+    frames_dir = tmp_path / "frames"
+    masks_dir = tmp_path / "masks"
+    frames_dir.mkdir()
+    (masks_dir / "f0").mkdir(parents=True)
+    for t in range(4):
+        img = bg.copy()
+        img[12 + 2 * t:36 + 2 * t, 8 + 3 * t:32 + 3 * t] = patch
+        Image.fromarray(img).save(frames_dir / f"f{t}.png")
+    m0 = np.zeros((h, w), np.uint8)
+    m0[12:36, 8:32] = 255
+    Image.fromarray(m0).save(masks_dir / "f0" / "00.png")
+
+    cfg = load_config("configs/maggie_video.yaml")
+    cfg.model.decoder_args.update(dict(
+        atten_block=1, atten_dim=32, atten_head=1, atten_stride=1,
+        final_channel=32, max_inst=10, use_id_pe=True, use_temp_pe=False))
+    model = build_model(cfg.model)
+    img0 = Image.open(frames_dir / "f0.png")
+    batch, _ = preprocess([img0, img0, img0], [[m0], [m0], [m0]])
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+
+    class Args:
+        config = video_config = None
+        weights = video_weights = ""
+
+    monkeypatch.setitem(app._STATE, "video_model", (model, variables))
+    written = app.inference_video(Args(), str(frames_dir), str(masks_dir),
+                                  "flow", str(tmp_path / "out"))
+    assert len(written) == 4
+    for p in written:
+        assert os.path.exists(p)
