@@ -230,7 +230,9 @@ def default_config() -> ConfigNode:
 
     # TPU-specific additions (absent in the reference; defaults preserve its behavior).
     c.model.precision = "fp32"  # or 'bf16'
-    c.model.remat = False
+    # remat mode: "none" | "selective" (stage-boundary checkpoints) | "full";
+    # a string so CLI overrides pass through _coerce untyped
+    c.model.remat = "none"
 
     ds = ConfigNode()
     ds.train = ConfigNode()

@@ -124,7 +124,8 @@ def train(cfg, use_wandb: bool | None = None):
     if mesh is not None:
         state = replicate(state, mesh)
 
-    train_step = make_train_step(model, tx, remat=bool(cfg.model.get("remat", False)))
+    # pass the raw value: "selective"/"none" are modes, not truthiness
+    train_step = make_train_step(model, tx, remat=cfg.model.get("remat", False))
     batch_time = AverageMeter("batch_time")
     data_time = AverageMeter("data_time")
     log_metrics: dict[str, AverageMeter] = {}
@@ -144,15 +145,16 @@ def train(cfg, use_wandb: bool | None = None):
 
     logger.info("Start training...")
     end_time = time.time()
-    loader_iter = iter(train_loader)
+    from .infeed import DeviceInfeed
+    infeed = DeviceInfeed(iter(train_loader), mesh=mesh)
     os.makedirs(cfg.output_dir, exist_ok=True)
 
     while it < cfg.train.max_iter:
-        batch = next(loader_iter)
+        # packed single-transfer infeed, prefetched on a background thread so
+        # the H2D rides under the previous step's compute (engine/infeed.py)
+        batch, dbatch = next(infeed)
         data_time.update(time.time() - end_time)
         it += 1
-
-        dbatch = _host_batch_to_device(batch, mesh)
         use_mask_atten = it < warmup_atten
         use_gt_guidance = bool(it < warmup_detail or
                                (it < warmup_detail * 3 and host_rng.rand() < 0.5))
@@ -188,7 +190,10 @@ def train(cfg, use_wandb: bool | None = None):
 
         batch_time.update(time.time() - end_time)
 
-        if it % cfg.train.vis_iter == 0 and pid == 0:
+        if wandb is not None and it % cfg.train.vis_iter == 0 and pid == 0:
+            # vis only under wandb (reference gates the panel the same way,
+            # train.py:286-291) — it costs an eval-graph compile + an extra
+            # eval forward per vis_iter
             # visualization panel (reference wandb_log_image, train.py:286-291):
             # an extra eval-mode forward of the current params on this batch
             try:

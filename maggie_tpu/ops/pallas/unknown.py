@@ -83,12 +83,16 @@ def _row_chunk(H: int, W: int, halo: int, budget_bytes: int = 2 << 20) -> int:
     return int(rows - rows % 8) or 8
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2))
 @functools.partial(jax.jit, static_argnames=("k_size", "interpret"))
 def compute_unknown_pallas(masks: jax.Array, k_size: int = 30,
                            interpret: bool = False) -> jax.Array:
     """Eval-mode compute_unknown (width = k_size // 2), Pallas-fused.
 
     masks: (..., H, W) float alpha maps; returns 0/1 maps of the same dtype.
+    Differentiable with zero tangent: the op is piecewise constant (thresholds
+    + max over a 0/1 map), so its derivative is 0 almost everywhere — matching
+    what autodiff yields through the XLA chain's comparisons.
     """
     width = k_size // 2
     lead = masks.shape[:-2]
@@ -127,3 +131,10 @@ def compute_unknown_pallas(masks: jax.Array, k_size: int = 30,
         interpret=interpret,
     )(x)
     return out[:, :H, :W].reshape(lead + (H, W)).astype(masks.dtype)
+
+
+@compute_unknown_pallas.defjvp
+def _compute_unknown_pallas_jvp(k_size, interpret, primals, tangents):
+    (masks,) = primals
+    out = compute_unknown_pallas(masks, k_size, interpret)
+    return out, jnp.zeros_like(out)

@@ -22,3 +22,14 @@ def test_pallas_matches_xla_and_cv2():
         ref = np.stack([cv2.dilate(m, cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (width, width)))
                         for m in unc.reshape(-1, 64, 96)]).reshape(alpha.shape)
         np.testing.assert_array_equal(pal.astype(np.uint8), ref)
+
+
+def test_pallas_unknown_zero_gradient():
+    """The custom_jvp makes the op differentiable with zero tangent (the op is
+    piecewise constant), so train graphs that hit the Pallas path backprop."""
+    import jax
+
+    rs = np.random.RandomState(1)
+    alpha = jnp.asarray(rs.rand(1, 1, 32, 32).astype(np.float32))
+    g = jax.grad(lambda a: compute_unknown_pallas(a, k_size=15, interpret=True).sum())(alpha)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
