@@ -166,6 +166,10 @@ def default_config() -> ConfigNode:
     c.train.log_iter = 50
     c.train.vis_iter = 500
     c.train.val_iter = 2000
+    # TPU addition (reference checkpoints only at val_iter, train.py:313-343):
+    # >0 saves last_state every N iters too, so a preempted/disconnected device
+    # costs at most N iters of work; tools/train_supervisor.py relies on this.
+    c.train.ckpt_iter = 0
     c.train.val_metrics = ["MAD", "MSE", "dtSSD"]
     c.train.val_best_metric = "MAD"
     c.train.val_dist = True

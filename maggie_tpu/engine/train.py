@@ -107,6 +107,7 @@ def train(cfg, use_wandb: bool | None = None):
 
     it = 0
     best_score = 99999999999.0
+    resumed = False
 
     # resume (reference train.py:182-190)
     if cfg.train.resume != "" or cfg.train.resume_last:
@@ -115,6 +116,7 @@ def train(cfg, use_wandb: bool | None = None):
         if os.path.isdir(last):
             state = restore_checkpoint(last, state)
             it = int(state.step)
+            resumed = True
             if os.path.exists(os.path.join(model_path, "best_score.txt")):
                 best_score = float(open(os.path.join(model_path, "best_score.txt")).read().strip())
             logger.info(f"Resuming from iter {it}, best score {best_score}")
@@ -143,6 +145,20 @@ def train(cfg, use_wandb: bool | None = None):
     from .test import eval_image, eval_video
     eval_fn = eval_video if cfg.dataset.test.name == "VIM" else eval_image
 
+    def save_last():
+        save_checkpoint(os.path.join(cfg.output_dir, "last_state"),
+                        jax.device_get(state))
+        with open(os.path.join(cfg.output_dir, "best_score.txt"), "w") as f:
+            f.write(str(best_score))
+        # progress sidecar read by tools/train_supervisor.py (crash-loop detection)
+        with open(os.path.join(cfg.output_dir, "last_step.txt"), "w") as f:
+            f.write(str(it))
+
+    # periodic checkpoint cadence independent of validation (elastic recovery;
+    # the reference only saves at val_iter) + fault injection for testing it
+    ckpt_iter = int(cfg.train.get("ckpt_iter", 0))
+    fault_iter = int(os.environ.get("MAGGIE_FAULT_INJECT_ITER", "0"))
+
     logger.info("Start training...")
     end_time = time.time()
     from .infeed import DeviceInfeed
@@ -155,6 +171,9 @@ def train(cfg, use_wandb: bool | None = None):
         batch, dbatch = next(infeed)
         data_time.update(time.time() - end_time)
         it += 1
+        if fault_iter and it == fault_iter and not resumed:
+            # fires only in a fresh run so a supervisor restart makes progress
+            raise RuntimeError(f"fault injection at iter {it} (MAGGIE_FAULT_INJECT_ITER)")
         use_mask_atten = it < warmup_atten
         use_gt_guidance = bool(it < warmup_detail or
                                (it < warmup_detail * 3 and host_rng.rand() < 0.5))
@@ -232,10 +251,9 @@ def train(cfg, use_wandb: bool | None = None):
                     wandb.log({f"val/{k}": v.average() for k, v in val_error_dict.items()} |
                               {"val/best_error": best_score, "val/iter": it})
                 logger.info("Saving the last model...")
-                save_checkpoint(os.path.join(cfg.output_dir, "last_state"),
-                                jax.device_get(state))
-                with open(os.path.join(cfg.output_dir, "best_score.txt"), "w") as f:
-                    f.write(str(best_score))
+                save_last()
+        elif ckpt_iter and it % ckpt_iter == 0 and pid == 0:
+            save_last()
         end_time = time.time()
 
     return state

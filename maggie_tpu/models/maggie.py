@@ -291,8 +291,10 @@ class Dummy(nn.Module):
             m = m.reshape(b, n_f, n_i, h, w)
         else:
             m = masks
+        # one inert scalar param so the engine's optimizer/checkpoint paths have
+        # a non-empty pytree to drive (zero loss -> zero gradient)
+        scale = self.param("scale", lambda _rng: jnp.float32(0.0))
         out = {"refined_masks": m.astype(jnp.float32), "alpha_os8": m.astype(jnp.float32)}
         if train:
-            zero = jnp.float32(0.0)
-            return out, {"total": jnp.mean(m.astype(jnp.float32)) * 0.0 + zero}
+            return out, {"total": jnp.mean(m.astype(jnp.float32)) * 0.0 + scale * 0.0}
         return out

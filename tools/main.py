@@ -46,6 +46,16 @@ def main() -> None:
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args()
 
+    # honor JAX_PLATFORMS even when the plugin registry would override it
+    # (jax.config.update must run before backend init; see tests/conftest.py)
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "," not in plat:
+        import jax
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
     cfg = load_config(args.config, args.opts or [])
     if args.precision == 16:
         cfg.model.precision = "bf16"
