@@ -260,6 +260,9 @@ def default_config() -> ConfigNode:
     ds.train.clip_length = 8
     ds.train.max_step_size = 2
     ds.train.motion_p = 0.3
+    # TPU addition: decoded-image host-RAM cache budget in GB (0 = off). Input
+    # pipelines on TPU VM hosts are CPU-bound; epochs revisit the same files.
+    ds.train.cache_images = 0.0
     ds.test = ConfigNode()
     ds.test.name = "VIM"
     ds.test.root_dir = ""

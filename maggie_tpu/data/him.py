@@ -32,7 +32,7 @@ class HIMDataset:
                  gamma_p=0.3, add_noise_p=0.3, jpeg_p=0.1, affine_p=0.1,
                  binarized_kernel=30, downscale_mask_p=0.5, downscale_mask=True,
                  alpha_dir_name="alphas", mask_dir_name="",
-                 device_preprocess=False, **kwargs):
+                 device_preprocess=False, cache_images=0.0, **kwargs):
         self.root_dir = root_dir
         self.split = split
         self.alpha_dir_name = alpha_dir_name
@@ -57,7 +57,7 @@ class HIMDataset:
             self._index_images_first()
 
         tf = [
-            T.Load(),
+            T.Load(cache_gb=float(cache_images)),
             T.ResizeShort(short_size, transform_alphas=is_train),
             T.PaddingMultiplyBy(64, transform_alphas=is_train),
             T.Stack(),

@@ -34,16 +34,38 @@ class Compose:
 
 
 class Load:
-    """Decode image/alpha/mask paths (reference ``:38-66``)."""
+    """Decode image/alpha/mask paths (reference ``:38-66``).
 
-    def __init__(self, is_rgb: bool = True):
+    ``cache_gb`` > 0 keeps decoded arrays in host RAM up to that budget (a
+    TPU-first addition: on TPU VMs the input pipeline is host-CPU-bound and
+    epochs revisit the same files; the reference re-decodes every epoch).
+    Cached arrays are returned as copies so downstream in-place augs can't
+    corrupt the cache."""
+
+    def __init__(self, is_rgb: bool = True, cache_gb: float = 0.0):
         self.is_rgb = is_rgb
+        self._cache: dict | None = {} if cache_gb > 0 else None
+        self._budget = int(cache_gb * (1 << 30))
+        self._bytes = 0
+
+    def _decode(self, path: str, mode: str) -> np.ndarray:
+        if self._cache is None:
+            return np.array(Image.open(path).convert(mode))
+        arr = self._cache.get((path, mode))
+        if arr is None:
+            arr = np.array(Image.open(path).convert(mode))
+            if self._bytes + arr.nbytes <= self._budget:
+                self._cache[(path, mode)] = arr
+                self._bytes += arr.nbytes
+            else:
+                return arr  # over budget: serve the fresh decode directly
+        return arr.copy()
 
     def __call__(self, d: dict) -> dict:
-        d["frames"] = [np.array(Image.open(p).convert("RGB")) for p in d["frames"]]
-        d["alphas"] = [np.array(Image.open(p).convert("L")) for p in d["alphas"]]
+        d["frames"] = [self._decode(p, "RGB") for p in d["frames"]]
+        d["alphas"] = [self._decode(p, "L") for p in d["alphas"]]
         if d.get("masks") is not None:
-            d["masks"] = [np.array(Image.open(p).convert("L")) for p in d["masks"]]
+            d["masks"] = [self._decode(p, "L") for p in d["masks"]]
         return d
 
 

@@ -20,16 +20,24 @@ def gen_transition_gt(alphas: np.ndarray, masks: np.ndarray | None = None,
     out = []
     for x in alphas:
         m = x[0].astype(np.float32)
+        if not m.any():  # padded empty instance slot: band is identically zero
+            out.append(np.zeros_like(m))
+            continue
         dilated = cv2.dilate(m, kernel, iterations=iterations)
         eroded = cv2.erode(m, kernel, iterations=iterations)
         out.append(((dilated - eroded) > 0).astype(np.float32))
     trans = np.stack(out)[:, None]  # (N, 1, H, W)
 
     if masks is not None:
-        if masks.shape[-1] != alphas.shape[-1]:
-            masks = masks.repeat(8, axis=-1).repeat(8, axis=-2)
-        diff = (alphas > 127) != (masks == 255)
-        trans[diff > 0] = 1.0
+        # short-circuit before materializing the 8x upsample (the hot-path cost):
+        # diff is all-False iff neither comparison fires anywhere, which is always
+        # the case at the [0,1]-scaled call sites (see NOTE above) — checking the
+        # small mask plus one scan of alphas replaces a ~260 ms/sample repeat
+        if (masks == 255).any() or (alphas > 127).any():
+            if masks.shape[-1] != alphas.shape[-1]:
+                masks = masks.repeat(8, axis=-1).repeat(8, axis=-2)
+            diff = (alphas > 127) != (masks == 255)
+            trans[diff > 0] = 1.0
     return trans
 
 
@@ -56,9 +64,12 @@ def gen_transition_temporal_gt(alphas: np.ndarray, masks: np.ndarray | None = No
         out.append(tm)
     trans = np.stack(out)[:, None]
     if masks is not None:
-        up = masks.repeat(8, axis=-1).repeat(8, axis=-2)
-        diff = (alphas > 127) != (up == 255)
-        trans[diff > 0] = 1.0
+        # same no-op short-circuit as gen_transition_gt (clause can't fire on
+        # [0,1]-scaled inputs; skip the 8x repeat unless it provably could)
+        if (masks == 255).any() or (alphas > 127).any():
+            up = masks.repeat(8, axis=-1).repeat(8, axis=-2)
+            diff = (alphas > 127) != (up == 255)
+            trans[diff > 0] = 1.0
     return trans
 
 

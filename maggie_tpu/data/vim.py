@@ -26,7 +26,7 @@ class VIMDataset:
                  crop=(512, 512), mask_dir_name="", alpha_dir_name="pha",
                  padding_crop_p=0.1, flip_p=0.5, gamma_p=0.3, motion_p=0.3,
                  add_noise_p=0.3, jpeg_p=0.1, affine_p=0.1, binarized_kernel=30,
-                 random_seed=2023, downscale_mask_p=0.5, **kwargs):
+                 random_seed=2023, downscale_mask_p=0.5, cache_images=0.0, **kwargs):
         self.root_dir = os.path.join(root_dir, split)
         self.is_train = is_train
         self.clip_length = clip_length
@@ -41,7 +41,8 @@ class VIMDataset:
         self.frame_ids: list[tuple[str, int]] = []
         self._load_frame_ids(clip_length - 1 if is_train else self.overlap)
 
-        tf = [T.Load(), T.ResizeShort(short_size, transform_alphas=is_train),
+        tf = [T.Load(cache_gb=float(cache_images)),
+              T.ResizeShort(short_size, transform_alphas=is_train),
               T.PaddingMultiplyBy(64, transform_alphas=is_train), T.Stack()]
         if is_train:
             tf += [

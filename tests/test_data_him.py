@@ -107,3 +107,25 @@ def test_loader_sharding(him_root):
         for b in dl:
             all_names.extend(b["image_names"][0])
     assert len(all_names) == 3 and len(set(all_names)) == 3
+
+
+def test_decode_cache_identical_outputs(him_root):
+    """cache_images: cached epochs produce byte-identical samples to uncached,
+    and serving copies protects the cache from downstream in-place augs."""
+    kw = dict(root_dir=him_root, split="tr", is_train=True, short_size=64,
+              max_inst=5, crop=(64, 64), alpha_dir_name="alphas", mask_dir_name="")
+    ds_plain = HIMDataset(random_seed=11, **kw)
+    ds_cache = HIMDataset(random_seed=11, cache_images=1.0, **kw)
+    # two passes: pass 2 is served from cache; same seed -> same RNG stream
+    for _pass in range(2):
+        for i in range(len(ds_plain)):
+            a, b = ds_plain[i], ds_cache[i]
+            for k in ("image", "mask", "alpha", "transition"):
+                np.testing.assert_array_equal(a[k], b[k], err_msg=f"pass{_pass} [{i}] {k}")
+    load = ds_cache.transforms.transforms[0]
+    assert load._cache and load._bytes > 0
+    # mutation safety: corrupting a served array must not corrupt the cache
+    served = load._decode(next(iter(load._cache))[0], "RGB")
+    served[:] = 0
+    again = load._decode(next(iter(load._cache))[0], "RGB")
+    assert again.max() > 0
