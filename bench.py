@@ -48,7 +48,22 @@ def _blob_batch(h, w, n_i, seed=0):
     }
 
 
+def _probe_backend(timeout_s: int = 180) -> None:
+    """Fail fast (instead of blocking indefinitely) when the tunneled TPU is
+    unreachable: initializing the backend against a dead tunnel hangs, so probe
+    it in a killable child first."""
+    import subprocess
+    import sys
+    try:
+        subprocess.run([sys.executable, "-c", "import jax; assert jax.devices()"],
+                       timeout=timeout_s, check=True, capture_output=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as exc:
+        raise SystemExit(f"bench: jax backend unreachable within {timeout_s}s "
+                         f"(TPU tunnel down?): {type(exc).__name__}") from exc
+
+
 def main():
+    _probe_backend()
     import jax
     import jax.numpy as jnp
 
