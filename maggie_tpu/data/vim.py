@@ -26,8 +26,14 @@ class VIMDataset:
                  crop=(512, 512), mask_dir_name="", alpha_dir_name="pha",
                  padding_crop_p=0.1, flip_p=0.5, gamma_p=0.3, motion_p=0.3,
                  add_noise_p=0.3, jpeg_p=0.1, affine_p=0.1, binarized_kernel=30,
-                 random_seed=2023, downscale_mask_p=0.5, cache_images=0.0, **kwargs):
+                 random_seed=2023, downscale_mask_p=0.5, cache_images=0.0,
+                 device_preprocess=False, **kwargs):
         self.root_dir = os.path.join(root_dir, split)
+        self.short_size = short_size
+        # jit device preprocessing tail for eval clips with a mask dir (mirrors
+        # HIMDataset; the host cv2 chain remains the parity reference)
+        self.device_preprocess = bool(device_preprocess and not is_train
+                                      and mask_dir_name)
         self.is_train = is_train
         self.clip_length = clip_length
         self.overlap = clip_overlap if overlap is None else overlap
@@ -83,6 +89,47 @@ class VIMDataset:
     def __len__(self):
         return len(self.frame_ids)
 
+    def _getitem_device(self, video_name, start, frame_paths, alpha_paths, mask_paths):
+        """Eval clip with the jit device preprocessing tail
+        (``data/device_pipeline.py``): host keeps decode + the metric-side
+        alpha/trimap prep (which never leaves the exact host path); image/mask
+        resize+pad+normalize run under jit. VIM eval does not downscale masks."""
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from .device_pipeline import device_preprocess_eval
+
+        n_f = len(frame_paths)
+        n_i = len(alpha_paths) // n_f
+        images, masks_dev, info = [], [], None
+        for t in range(n_f):
+            frame = np.array(Image.open(frame_paths[t]).convert("RGB"))
+            m = np.stack([np.array(Image.open(p).convert("L"))
+                          for p in mask_paths[t * n_i:(t + 1) * n_i]])
+            im, mk, info = device_preprocess_eval(frame, m, self.short_size, 64,
+                                                  downscale_mask=False)
+            images.append(im)
+            masks_dev.append(mk)
+        image = jnp.concatenate(images, axis=0)          # (T, Hp, Wp, 3)
+        mask = jnp.concatenate(masks_dev, axis=0)        # (T, n_i, Hp, Wp)
+
+        alpha = np.stack([np.array(Image.open(p).convert("L"))
+                          for p in alpha_paths]).astype(np.float32) / 255.0
+        alpha = alpha.reshape(n_f, n_i, *alpha.shape[1:])
+        trans = gen_transition_gt(alpha.reshape(-1, *alpha.shape[2:])[:, None])
+        trans = trans.reshape(alpha.shape)
+        trimap = np.zeros_like(alpha)
+        trimap[alpha > 0.5] = 2.0
+        trimap[trans > 0] = 1.0
+        return {
+            "image": image, "mask": mask, "alpha": alpha, "trimap": trimap,
+            "image_names": frame_paths,
+            "transform_info": info,
+            "skip": 0 if start == 0 else self.overlap,
+            "is_first": int(start == 0),
+            "is_last": int(start + self.clip_length >= len(self.video_infos[video_name])),
+        }
+
     def __getitem__(self, idx):
         video_name, start = self.frame_ids[idx]
         frame_names = self.video_infos[video_name]
@@ -118,6 +165,10 @@ class VIMDataset:
         if self.mask_dir_name != "" and not self.is_train:
             mask_paths = [p.replace(f"/{self.alpha_dir_name}/", f"/{self.mask_dir_name}/")
                           for p in alpha_paths]
+
+        if self.device_preprocess:
+            return self._getitem_device(video_name, start, frame_paths, alpha_paths,
+                                        mask_paths)
 
         d = self.transforms({"frames": frame_paths, "alphas": alpha_paths, "masks": mask_paths})
         frames, alphas, masks = d["frames"], d["alphas"], d["masks"]

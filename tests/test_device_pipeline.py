@@ -92,3 +92,47 @@ def test_him_dataset_device_mode(tmp_path):
     batch = next(iter(DataLoader(HIMDataset(device_preprocess=True, **kw),
                                  batch_size=1)))
     assert batch["image"].shape[0] == 1 and batch["mask"].shape[:2] == (1, 1)
+
+
+def test_vim_dataset_device_mode(tmp_path):
+    """VIM eval clip via the device tail: engine-consumed keys match the host
+    chain (image within the cv2 5-bit fixed-point tolerance; mask bit-exact;
+    alpha/trimap on the exact host path so metric parity is untouched)."""
+    from PIL import Image
+
+    from maggie_tpu.data.vim import VIMDataset
+
+    rs = np.random.RandomState(3)
+    split = tmp_path / "medium"
+    h, w = 88, 120
+    for t in range(4):
+        (split / "fgr" / "vid0").mkdir(parents=True, exist_ok=True)
+        Image.fromarray(rs.randint(0, 255, (h, w, 3), np.uint8)).save(
+            split / "fgr" / "vid0" / f"{t:04d}.jpg")
+        for j in range(2):
+            yy, xx = np.mgrid[0:h, 0:w]
+            d = np.sqrt((yy - 44) ** 2 + (xx - (30 + 50 * j + 2 * t)) ** 2)
+            a = (np.clip((25 - d) / 7.5, 0, 1) * 255).astype(np.uint8)
+            for dname in ("pha", "xmem"):
+                dd = split / dname / "vid0" / f"{t:04d}"
+                dd.mkdir(parents=True, exist_ok=True)
+                arr = a if dname == "pha" else ((a > 127) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(dd / f"{j:02d}.png")
+
+    kw = dict(root_dir=str(tmp_path), split="medium", is_train=False, short_size=64,
+              alpha_dir_name="pha", mask_dir_name="xmem", clip_length=3, clip_overlap=2)
+    host = VIMDataset(**kw)
+    dev = VIMDataset(device_preprocess=True, **kw)
+    assert len(host) == len(dev)
+    for i in range(len(host)):
+        a, b = host[i], dev[i]
+        # cv2's uint8 bilinear is 5-bit fixed point; in ImageNet-normalized
+        # units (~/0.225) that allows ~0.03 (same bound as the HIM test above)
+        assert np.abs(np.asarray(b["image"]) - a["image"]).max() < 0.03
+        np.testing.assert_array_equal(np.asarray(b["mask"]), a["mask"])
+        np.testing.assert_array_equal(b["alpha"], a["alpha"])
+        np.testing.assert_array_equal(b["trimap"], a["trimap"])
+        for k in ("skip", "is_first", "is_last", "image_names"):
+            assert b[k] == a[k], k
+        assert [t["name"] for t in b["transform_info"]] == \
+               [t["name"] for t in a["transform_info"]]
