@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(__file__))
 from predict import build, preprocess  # noqa: E402
 from segmenters import (FlowPropagator, MaskFileSegmenter,  # noqa: E402
                         MaskRCNNOnnxSegmenter, Sam2Propagator, XMemPropagator,
-                        _overlay, label_map_to_instances)
+                        label_map_to_instances)
 from maggie_tpu.utils.postprocess import reverse_transform  # noqa: E402
 
 _STATE: dict = {}
@@ -138,6 +138,12 @@ def inference_video(args, frames_dir: str, masks_dir: str | None,
                 mdir = os.path.join(masks_dir, os.path.splitext(f)[0])
                 inst.append([np.array(Image.open(os.path.join(mdir, m)).convert("L"))
                              for m in sorted(os.listdir(mdir))])
+        # videos shorter than the 3-frame clip window: pad by repeating the
+        # last frame (only the real frames are written below)
+        n_real = len(clip)
+        while len(frames) < 3:
+            frames.append(frames[-1])
+            inst.append(inst[-1])
         batch, tinfo = preprocess(frames, inst)
         out = model.apply(variables, batch, train=False, prev_pred=prev_pred)
         refined = out["refined_masks"]
@@ -145,7 +151,8 @@ def inference_video(args, frames_dir: str, masks_dir: str | None,
         alpha = reverse_transform(np.asarray(refined), tinfo)
         alpha[alpha <= 1 / 255] = 0.0
         alpha[alpha >= 254 / 255] = 1.0
-        keep = range(3) if start == max(len(frame_names) - 3, 0) else [0]
+        keep = (range(n_real) if start == max(len(frame_names) - 3, 0)
+                else [0])
         for t in keep:
             comp = _matte_composites(frames[t], alpha[0, t])
             path = os.path.join(out_dir, f"{os.path.splitext(clip[t])[0]}.jpg")

@@ -50,17 +50,30 @@ def _pack(batch: dict) -> tuple[np.ndarray, tuple]:
     return np.concatenate(flat), spec
 
 
+_SENTINEL = object()
+
+
 class DeviceInfeed:
     """Iterator of (host_batch, device_batch) with packed async transfer.
 
     When ``mesh`` is given, falls back to the per-leaf sharded put
     (multi-device layouts shard the batch dim; a packed 1-D buffer cannot).
+
+    ``close()`` stops the producer thread and releases the prefetched
+    host+device buffers; the train loop calls it in a ``finally`` so an
+    aborted run (fault injection, KeyboardInterrupt) does not leave a thread
+    decoding forever nor keep ``depth`` device batches pinned in HBM. After
+    the underlying iterator raises, the error is re-raised on every
+    subsequent ``next()`` instead of deadlocking on an empty queue.
     """
 
     def __init__(self, host_iter: Iterator[dict], mesh=None, depth: int = 2):
         self.host_iter = host_iter
         self.mesh = mesh
         self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._final: BaseException | None = None
+        self._done = False
         self._thread = threading.Thread(target=self._produce, daemon=True)
         self._thread.start()
 
@@ -79,19 +92,55 @@ class DeviceInfeed:
     def _produce(self):
         try:
             for batch in self.host_iter:
-                self._q.put((batch, self._put(batch)))
-            self._q.put(None)
+                if self._stop.is_set():
+                    return
+                self._enqueue((batch, self._put(batch)))
+                if self._stop.is_set():
+                    return
+            self._enqueue(_SENTINEL)
         except BaseException as exc:  # surface loader errors to the consumer
-            self._q.put(exc)
+            self._enqueue(exc)
+
+    def _enqueue(self, item):
+        # bounded put that aborts on close() instead of blocking forever
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return
+            except queue.Full:
+                continue
+
+    def close(self):
+        """Stop the producer and drop prefetched batches. Idempotent."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=10.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._done:
+            if self._final is not None:
+                raise self._final
+            raise StopIteration
         item = self._q.get()
-        if item is None:
+        if item is _SENTINEL:
+            self._done = True
             raise StopIteration
         if isinstance(item, BaseException):
+            self._done = True
+            self._final = item
             raise item
         batch, (kind, dev, spec) = item
         if kind == "leaf":

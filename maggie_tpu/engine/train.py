@@ -165,95 +165,101 @@ def train(cfg, use_wandb: bool | None = None):
     infeed = DeviceInfeed(iter(train_loader), mesh=mesh)
     os.makedirs(cfg.output_dir, exist_ok=True)
 
-    while it < cfg.train.max_iter:
-        # packed single-transfer infeed, prefetched on a background thread so
-        # the H2D rides under the previous step's compute (engine/infeed.py)
-        batch, dbatch = next(infeed)
-        data_time.update(time.time() - end_time)
-        it += 1
-        if fault_iter and it == fault_iter and not resumed:
-            # fires only in a fresh run so a supervisor restart makes progress
-            raise RuntimeError(f"fault injection at iter {it} (MAGGIE_FAULT_INJECT_ITER)")
-        use_mask_atten = it < warmup_atten
-        use_gt_guidance = bool(it < warmup_detail or
-                               (it < warmup_detail * 3 and host_rng.rand() < 0.5))
-        use_prm_weights = bool(host_rng.rand() < 0.75)
-        atten_loss_enabled = it >= warmup_atten
+    # release the infeed producer thread + prefetched HBM buffers even when
+    # the loop aborts (fault injection / preemption -- tools/train_supervisor.py
+    # restarts train() in the same process in tests)
+    try:
+        while it < cfg.train.max_iter:
+            # packed single-transfer infeed, prefetched on a background thread so
+            # the H2D rides under the previous step's compute (engine/infeed.py)
+            batch, dbatch = next(infeed)
+            data_time.update(time.time() - end_time)
+            it += 1
+            if fault_iter and it == fault_iter and not resumed:
+                # fires only in a fresh run so a supervisor restart makes progress
+                raise RuntimeError(f"fault injection at iter {it} (MAGGIE_FAULT_INJECT_ITER)")
+            use_mask_atten = it < warmup_atten
+            use_gt_guidance = bool(it < warmup_detail or
+                                   (it < warmup_detail * 3 and host_rng.rand() < 0.5))
+            use_prm_weights = bool(host_rng.rand() < 0.75)
+            atten_loss_enabled = it >= warmup_atten
 
-        state, loss_dict = train_step(
-            state, dbatch, step_rng,
-            use_mask_atten=use_mask_atten,
-            use_gt_guidance=use_gt_guidance,
-            use_prm_weights=use_prm_weights,
-            atten_loss_enabled=atten_loss_enabled)
+            state, loss_dict = train_step(
+                state, dbatch, step_rng,
+                use_mask_atten=use_mask_atten,
+                use_gt_guidance=use_gt_guidance,
+                use_prm_weights=use_prm_weights,
+                atten_loss_enabled=atten_loss_enabled)
 
-        if it % cfg.train.log_iter == 0:
-            # materialize loss scalars only on log steps (keeps the device pipeline full)
-            host_losses = {k: float(v) for k, v in loss_dict.items()}
-            if not np.isfinite(host_losses["total"]):
-                logger.error(f"Iter {it}: non-finite loss {host_losses['total']}")
-            for k, v in host_losses.items():
-                log_metrics.setdefault(k, AverageMeter(k)).update(v)
-            lr = float(schedule(it))
-            s = f"Iter: {it}/{cfg.train.max_iter}"
-            s += "".join(f", {k}: {v.avg:.4f}" for k, v in log_metrics.items())
-            s += f", lr: {lr:.6f}, batch_time: {batch_time.avg:.4f}s, data_time: {data_time.avg:.4f}s"
-            from ..utils.memory import device_peak_memory_mb
-            peak_mb = device_peak_memory_mb()
-            if peak_mb is not None:  # reference parity: peak device MB per run
-                s += f", max_mem: {peak_mb:.0f}MB"
-            logger.info(s)
-            if wandb is not None and pid == 0:
-                wandb.log({f"train/{k}": v.val for k, v in log_metrics.items()} |
-                          {"train/lr": lr, "train/iter": it})
+            if it % cfg.train.log_iter == 0:
+                # materialize loss scalars only on log steps (keeps the device pipeline full)
+                host_losses = {k: float(v) for k, v in loss_dict.items()}
+                if not np.isfinite(host_losses["total"]):
+                    logger.error(f"Iter {it}: non-finite loss {host_losses['total']}")
+                for k, v in host_losses.items():
+                    log_metrics.setdefault(k, AverageMeter(k)).update(v)
+                lr = float(schedule(it))
+                s = f"Iter: {it}/{cfg.train.max_iter}"
+                s += "".join(f", {k}: {v.avg:.4f}" for k, v in log_metrics.items())
+                s += f", lr: {lr:.6f}, batch_time: {batch_time.avg:.4f}s, data_time: {data_time.avg:.4f}s"
+                from ..utils.memory import device_peak_memory_mb
+                peak_mb = device_peak_memory_mb()
+                if peak_mb is not None:  # reference parity: peak device MB per run
+                    s += f", max_mem: {peak_mb:.0f}MB"
+                logger.info(s)
+                if wandb is not None and pid == 0:
+                    wandb.log({f"train/{k}": v.val for k, v in log_metrics.items()} |
+                              {"train/lr": lr, "train/iter": it})
 
-        batch_time.update(time.time() - end_time)
+            batch_time.update(time.time() - end_time)
 
-        if wandb is not None and it % cfg.train.vis_iter == 0 and pid == 0:
-            # vis only under wandb (reference gates the panel the same way,
-            # train.py:286-291) — it costs an eval-graph compile + an extra
-            # eval forward per vis_iter
-            # visualization panel (reference wandb_log_image, train.py:286-291):
-            # an extra eval-mode forward of the current params on this batch
-            try:
-                from .vis import save_train_visualization
-                eval_batch = {k: v for k, v in dbatch.items() if k != "transition"}
-                out = model.apply(state.variables(), eval_batch, train=False)
-                path = save_train_visualization(dbatch, out, it, cfg.output_dir)
-                if wandb is not None:
-                    wandb.log({"train/vis": wandb.Image(path)}, commit=False)
-            except Exception as exc:  # vis must never kill training (ref wraps in try)
-                logger.warning(f"visualization failed at iter {it}: {exc}")
+            if wandb is not None and it % cfg.train.vis_iter == 0 and pid == 0:
+                # vis only under wandb (reference gates the panel the same way,
+                # train.py:286-291) — it costs an eval-graph compile + an extra
+                # eval forward per vis_iter
+                # visualization panel (reference wandb_log_image, train.py:286-291):
+                # an extra eval-mode forward of the current params on this batch
+                try:
+                    from .vis import save_train_visualization
+                    eval_batch = {k: v for k, v in dbatch.items() if k != "transition"}
+                    out = model.apply(state.variables(), eval_batch, train=False)
+                    path = save_train_visualization(dbatch, out, it, cfg.output_dir)
+                    if wandb is not None:
+                        wandb.log({"train/vis": wandb.Image(path)}, commit=False)
+                except Exception as exc:  # vis must never kill training (ref wraps in try)
+                    logger.warning(f"visualization failed at iter {it}: {exc}")
 
-        if it % cfg.train.val_iter == 0:
-            logger.info("Start validation...")
-            for v in val_error_dict.values():
-                v.reset()
-            eval_fn(model, state.variables(), val_loader, cfg.test.log_iter,
-                    val_error_dict, do_postprocessing=False, callback=None)
-            if cfg.train.val_dist:
+            if it % cfg.train.val_iter == 0:
+                logger.info("Start validation...")
                 for v in val_error_dict.values():
-                    v.gather_metric()
-            if pid == 0:
-                logger.info("Validation:" + ", ".join(
-                    f"{k}: {v.average():.4f}" for k, v in val_error_dict.items()))
-                total_error = val_error_dict[cfg.train.val_best_metric].average()
-                if total_error < best_score:
-                    logger.info(f"Best score changed from {best_score:.4f} to {total_error:.4f}")
-                    best_score = total_error
-                    save_variables_npz(os.path.join(cfg.output_dir, "best_model.npz"),
-                                       jax.device_get(state.variables()))
-                    with open(os.path.join(cfg.output_dir, "best_metrics.txt"), "w") as f:
-                        f.write(f"iter: {it}\n")
-                        for k, v in val_error_dict.items():
-                            f.write(f"{k}: {v.average():.4f}\n")
-                if wandb is not None:
-                    wandb.log({f"val/{k}": v.average() for k, v in val_error_dict.items()} |
-                              {"val/best_error": best_score, "val/iter": it})
-                logger.info("Saving the last model...")
+                    v.reset()
+                eval_fn(model, state.variables(), val_loader, cfg.test.log_iter,
+                        val_error_dict, do_postprocessing=False, callback=None)
+                if cfg.train.val_dist:
+                    for v in val_error_dict.values():
+                        v.gather_metric()
+                if pid == 0:
+                    logger.info("Validation:" + ", ".join(
+                        f"{k}: {v.average():.4f}" for k, v in val_error_dict.items()))
+                    total_error = val_error_dict[cfg.train.val_best_metric].average()
+                    if total_error < best_score:
+                        logger.info(f"Best score changed from {best_score:.4f} to {total_error:.4f}")
+                        best_score = total_error
+                        save_variables_npz(os.path.join(cfg.output_dir, "best_model.npz"),
+                                           jax.device_get(state.variables()))
+                        with open(os.path.join(cfg.output_dir, "best_metrics.txt"), "w") as f:
+                            f.write(f"iter: {it}\n")
+                            for k, v in val_error_dict.items():
+                                f.write(f"{k}: {v.average():.4f}\n")
+                    if wandb is not None:
+                        wandb.log({f"val/{k}": v.average() for k, v in val_error_dict.items()} |
+                                  {"val/best_error": best_score, "val/iter": it})
+                    logger.info("Saving the last model...")
+                    save_last()
+            elif ckpt_iter and it % ckpt_iter == 0 and pid == 0:
                 save_last()
-        elif ckpt_iter and it % ckpt_iter == 0 and pid == 0:
-            save_last()
-        end_time = time.time()
+            end_time = time.time()
+    finally:
+        infeed.close()
 
     return state

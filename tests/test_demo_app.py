@@ -183,3 +183,14 @@ def test_video_inference_first_frame_only_masks(tmp_path, monkeypatch):
     assert len(written) == 4
     for p in written:
         assert os.path.exists(p)
+
+    # videos shorter than the 3-frame clip window (last-frame padding path)
+    short_dir = tmp_path / "frames2"
+    short_dir.mkdir()
+    for t in range(2):
+        Image.open(frames_dir / f"f{t}.png").save(short_dir / f"f{t}.png")
+    written2 = app.inference_video(Args(), str(short_dir), str(masks_dir),
+                                   "flow", str(tmp_path / "out2"))
+    assert len(written2) == 2
+    for p in written2:
+        assert os.path.exists(p)

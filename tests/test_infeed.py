@@ -58,3 +58,31 @@ def test_infeed_propagates_loader_errors():
         # the error may occupy the next slot or the one after (depth-2 prefetch)
         next(it)
         next(it)
+    # the error is sticky: further next() calls re-raise instead of blocking
+    # forever on the dead producer's empty queue
+    with pytest.raises(RuntimeError, match="loader exploded"):
+        next(it)
+
+
+def test_infeed_close_stops_producer():
+    from maggie_tpu.engine.infeed import DeviceInfeed
+
+    produced = []
+
+    def infinite():
+        i = 0
+        while True:
+            for b in _batches(1, seed=i):
+                produced.append(i)
+                yield b
+            i += 1
+
+    it = DeviceInfeed(infinite())
+    next(it)
+    it.close()
+    assert not it._thread.is_alive()
+    n_after_close = len(produced)
+    import time
+    time.sleep(0.3)
+    assert len(produced) == n_after_close  # producer really stopped
+    it.close()  # idempotent

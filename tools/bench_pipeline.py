@@ -83,9 +83,11 @@ def main():
                         mask_dir_name="masks", downscale_mask=True,
                         device_preprocess=device_pre)
         loader = DataLoader(ds, batch_size=1, prefetch=2)
-        metrics = {"MAD": MAD(), "SAD": SAD()}
         # warm pass compiles; timed pass measures steady state
         for tag in ("warm", "timed"):
+            # fresh meters per pass: they accumulate, and a running average
+            # over both passes would hide a warm-vs-timed divergence
+            metrics = {"MAD": MAD(), "SAD": SAD()}
             t0 = time.time()
             bt, dt_ = eval_image(model, variables, loader, log_iter=1000,
                                  val_error_dict=metrics, shape_bucketing=True)

@@ -6,7 +6,9 @@ tunnel dispatch overhead is amortized over `iters` and the numbers are device
 time. Stages mirror the forward's real decomposition; a final line sums them
 against the measured full forward.
 
-Usage: python tools/profile_block.py [iters]
+Usage: python tools/profile_block.py [iters] [H W]
+(H W default to the bench condition 576 1024; pass e.g. 192 256 for a quick
+CPU smoke run.)
 """
 
 import sys
@@ -71,7 +73,9 @@ def _dispatch():
 
 
 def main():
-    h, w, n_i = 576, 1024, 3
+    h = int(sys.argv[2]) if len(sys.argv) > 3 else 576
+    w = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    n_i = 3
     cfg = _image_model_cfg()
     cfg.model.precision = "bf16"
     cfg.model.decoder_args.update(dict(sparse_mode="block", block_cap_frac=0.5))
@@ -102,9 +106,13 @@ def main():
 
     t_enc = scan_time(lambda i: enc(i)[0], inp, name="encoder + aspp")
 
-    emb, mid_fea = jax.jit(enc)(inp)
+    # no jit: with the (auto-enabled) lazy os1 shortcut, mid_fea carries the
+    # deferred shortcut0_fn closure, which cannot cross a jit boundary
+    emb, mid_fea = enc(inp)
     dec = bound.decoder
     fea1, fea2, fea3, fea4, fea5 = mid_fea["shortcut"]
+    sc0 = ((mid_fea["shortcut0_fn"], mid_fea["shortcut0_input"])
+           if fea1 is None else None)
 
     def os32_to_os8(emb):
         z = dec.layer1(emb) + fea5
@@ -130,12 +138,13 @@ def main():
     q3 = queries[:, :n_i]
 
     t_lad = scan_time(
-        lambda f8: dec.predict_details_block(f8, unk, q3, fea1, fea2, fea3, False),
+        lambda f8: dec.predict_details_block(f8, unk, q3, fea1, fea2, fea3,
+                                             False, sc0=sc0),
         feat8, name="block ladder (predict_details_block)")
 
     x4l, x1l = jax.jit(
         lambda f8: dec.predict_details_block(f8, unk, q3, fea1, fea2, fea3,
-                                             False))(feat8)
+                                             False, sc0=sc0))(feat8)
     x_os4 = (jnp.tanh(resize_bilinear(x4l.astype(jnp.float32), (h, w),
                                       align_corners=False)) + 1) / 2
     x_os1 = (jnp.tanh(x1l.astype(jnp.float32)) + 1) / 2
@@ -162,8 +171,19 @@ def main():
                       name=f"  select_blocks cap={cap}")
     idx_n, idx_by, idx_bx, valid = jax.jit(
         lambda m: select_blocks(m[..., 0], B1 // 8, cap))(m8)
-    t_g1 = scan_time(lambda f: gather_patches(f, idx_n, idx_by, idx_bx, 64, 3),
-                     fea1.astype(dt), name="  gather fea1 os1 (64,halo3)")
+    # with the lazy shortcut, os1 skip features are computed on gathered
+    # patches of the 6-channel encoder INPUT — time that gather instead,
+    # mirroring the decoder's per-image indexing (decoder_sparse.py:371)
+    img_n = idx_n // N
+    if fea1 is not None:
+        t_g1 = scan_time(lambda f: gather_patches(f, img_n, idx_by, idx_bx, 64,
+                                                  3, dup_bound=N),
+                         fea1.astype(dt), name="  gather fea1 os1 (64,halo3)")
+    else:
+        t_g1 = scan_time(lambda f: gather_patches(f, img_n, idx_by, idx_bx, 64,
+                                                  5, dup_bound=N),
+                         mid_fea["shortcut0_input"].astype(dt),
+                         name="  gather shortcut0 input (64,halo5)")
 
 
 if __name__ == "__main__":

@@ -3,19 +3,17 @@
 Runs the block+bf16 eval forward under jax.profiler, then parses the perfetto
 trace and prints the top device ops by total duration — one compile (shared
 with bench.py via the persistent cache) instead of a compile per stage, which
-matters when tunnel compiles are slow.
+matters when tunnel compiles are slow. Parsing is shared with
+trace_train.py / trace_video.py (tools/traceutil.py) so the attributions of
+the three tools are directly comparable.
 
 Usage: python tools/trace_forward.py [trace_dir]
 """
 
-import glob
-import gzip
-import json
-import os
 import sys
-from collections import defaultdict
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +25,7 @@ from __graft_entry__ import _image_model_cfg, _init_variables
 from bench import _blob_batch
 from maggie_tpu.models import build_model
 from maggie_tpu.utils.checkpoint import fold_spectral_norm
+from traceutil import device_op_times
 
 
 def main():
@@ -48,46 +47,7 @@ def main():
             out = fwd(variables, batch)
         float(jnp.sum(out))
 
-    traces = sorted(glob.glob(os.path.join(
-        trace_dir, "**", "*.trace.json.gz"), recursive=True), key=os.path.getmtime)
-    if not traces:
-        print("no perfetto trace found under", trace_dir)
-        return
-    with gzip.open(traces[-1], "rt") as f:
-        data = json.load(f)
-
-    # device-track events: pick pids whose process name mentions TPU/device
-    pid_names = {}
-    tid_names = {}
-    for e in data.get("traceEvents", []):
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e["args"].get("name", "")
-        if e.get("ph") == "M" and e.get("name") == "thread_name":
-            tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
-
-    dur_by_op = defaultdict(float)
-    n_by_op = defaultdict(int)
-    total = 0.0
-    for e in data.get("traceEvents", []):
-        if e.get("ph") != "X":
-            continue
-        pname = pid_names.get(e.get("pid"), "")
-        tname = tid_names.get((e.get("pid"), e.get("tid")), "")
-        label = (pname + " " + tname).lower()
-        if not any(k in label for k in ("tpu", "device", "xla ops", "axon")):
-            continue
-        if "step" in tname.lower():
-            continue
-        name = e.get("name", "?")
-        dur = e.get("dur", 0) / 1e3  # us -> ms
-        dur_by_op[name] += dur
-        n_by_op[name] += 1
-        total += dur
-
-    print(f"\ntotal device op time {total:.2f} ms over 5 iters "
-          f"({total / 5:.2f} ms/frame)\ntop ops:")
-    for name, dur in sorted(dur_by_op.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"  {dur / 5:8.3f} ms  x{n_by_op[name] // 5:<4d} {name[:110]}")
+    device_op_times(trace_dir, n_iters=5)
 
 
 if __name__ == "__main__":

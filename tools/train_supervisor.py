@@ -34,13 +34,6 @@ import sys
 import time
 
 
-def _parse_opt(opts: list[str], key: str, default: str = "") -> str:
-    for i in range(0, len(opts) - 1, 2):
-        if opts[i] == key:
-            return opts[i + 1]
-    return default
-
-
 def _ckpt_step(output_dir: str) -> int:
     """Read the checkpointed step from <output_dir>, -1 if no checkpoint exists.
 
