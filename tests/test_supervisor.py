@@ -39,7 +39,9 @@ def _run_supervisor(fake_main, out_dir, extra=(), tmp_path=None):
         open(cfg_yaml, "w").write("name: default\n")
     cmd = [sys.executable, SUP, "--config", cfg_yaml, "--backoff", "0.01",
            *extra, "--", "output_dir", out_dir]
-    env = dict(os.environ, MAGGIE_SUPERVISOR_MAIN=fake_main)
+    env = dict(os.environ, MAGGIE_SUPERVISOR_MAIN=fake_main,
+               MAGGIE_SUPERVISOR_PROBE="true",  # backend "alive" by default
+               MAGGIE_SUPERVISOR_PROBE_INTERVAL="0.01")
     return subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=120)
 
 
@@ -73,6 +75,35 @@ def test_supervisor_gives_up_on_crash_loop(tmp_path):
     assert r.returncode == 7
     assert "crash loop" in r.stdout
     assert "launch #3" not in r.stdout  # 0,1,2 then give up
+
+
+def test_supervisor_waits_out_backend_outage(tmp_path):
+    """A dead backend is an outage, not a crash loop: the supervisor defers
+    the launch until the probe passes and resets the no-progress streak, so
+    tunnel downtime never trips the give-up heuristic."""
+    flag = tmp_path / "backend_up"
+    # probe fails until the flag file exists; create it from the probe's own
+    # third invocation to keep the test single-process
+    probe = (f'if [ -f "{flag}" ]; then exit 0; fi; '
+             f'echo x >> "{flag}.tries"; '
+             f'[ "$(wc -l < "{flag}.tries")" -ge 3 ] && touch "{flag}"; exit 1')
+    fake = _fake_main(tmp_path, """\
+        open(os.path.join(out, "ran.txt"), "w").write("ok")
+        sys.exit(0)
+    """)
+    cfg_yaml = os.path.join(os.path.dirname(fake), "min.yaml")
+    if not os.path.exists(cfg_yaml):
+        open(cfg_yaml, "w").write("name: default\n")
+    out = str(tmp_path / "run_outage")
+    cmd = [sys.executable, SUP, "--config", cfg_yaml, "--backoff", "0.01",
+           "--", "output_dir", out]
+    env = dict(os.environ, MAGGIE_SUPERVISOR_MAIN=fake,
+               MAGGIE_SUPERVISOR_PROBE=probe,
+               MAGGIE_SUPERVISOR_PROBE_INTERVAL="0.01")
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=120)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "backend unreachable" in r.stdout
+    assert os.path.exists(os.path.join(out, "default", "ran.txt"))
 
 
 def test_supervisor_respects_max_restarts(tmp_path):

@@ -50,6 +50,23 @@ def _ckpt_step(output_dir: str) -> int:
         return 0  # checkpoint exists but no sidecar (older run): resumable, step unknown
 
 
+def _backend_alive(timeout_s: float = 120.0) -> bool:
+    """True when the jax backend is reachable, probed in a killable child
+    (initializing against a dead TPU tunnel hangs forever — bench.py has the
+    same guard). Test hook: MAGGIE_SUPERVISOR_PROBE is a shell command whose
+    exit status substitutes for the probe."""
+    hook = os.environ.get("MAGGIE_SUPERVISOR_PROBE")
+    try:
+        if hook:
+            return subprocess.call(hook, shell=True, timeout=timeout_s) == 0
+        return subprocess.call(
+            [sys.executable, "-c", "import jax; assert jax.devices()"],
+            timeout=timeout_s, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL) == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def run(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
     parser.add_argument("--config", required=True)
@@ -77,6 +94,17 @@ def run(argv: list[str] | None = None) -> int:
     no_progress_streak = 0
     delay = args.backoff
     while True:
+        # A dead backend is an OUTAGE, not a crash loop: wait it out before
+        # launching, without burning restarts or the no-progress streak. Only
+        # crashes that happen while the backend is reachable count.
+        waited = 0.0
+        interval = float(os.environ.get("MAGGIE_SUPERVISOR_PROBE_INTERVAL", 60))
+        while not _backend_alive():
+            no_progress_streak = 0
+            waited += interval
+            print(f"[supervisor] backend unreachable (waited {waited:.0f}s); "
+                  f"probing again in {interval:.0f}s", flush=True)
+            time.sleep(interval)
         resume = ["train.resume_last", "True"] if _ckpt_step(output_dir) >= 0 else []
         cmd = [args.python, main_py, "--config", args.config, *opts, *resume]
         step_before = _ckpt_step(output_dir)
