@@ -54,13 +54,15 @@ class ResNetD(nn.Module):
     layers: tuple[int, ...] = (3, 4, 4, 2)
     mask_channel: int = 0
     late_downsample: bool = False
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, update_sn: bool = False) -> dict:
         midplanes = 64 if self.late_downsample else 32
         s = [1, 2, 1, 2] if self.late_downsample else [2, 1, 2, 1]
         out = {}
-        x = SNConv(32, (3, 3), (s[0], s[0]), (1, 1), name="conv1")(x, update_sn)
+        x = SNConv(32, (3, 3), (s[0], s[0]), (1, 1), name="conv1",
+                   s2d=self.s2d_stem)(x, update_sn)
         x = BatchNorm(name="bn1")(x, train)
         x0 = nn.relu(x)
         out["os1"] = resize_bilinear_nhwc(x0, (x0.shape[1] * 2, x0.shape[2] * 2), align_corners=True)
@@ -99,12 +101,14 @@ class ResShortCutD(nn.Module):
     num_mask: int = 1
     late_downsample: bool = False
     lazy_os1_shortcut: bool = False
+    s2d_stem: bool = False
 
     def setup(self):
         midplanes = 64 if self.late_downsample else 32
         s = [1, 2, 1, 2] if self.late_downsample else [2, 1, 2, 1]
         self._s = s
-        self.conv1 = SNConv(32, (3, 3), (s[0], s[0]), (1, 1), name="conv1")
+        self.conv1 = SNConv(32, (3, 3), (s[0], s[0]), (1, 1), name="conv1",
+                            s2d=self.s2d_stem)
         self.bn1 = BatchNorm(name="bn1")
         self.conv2 = SNConv(midplanes, (3, 3), (s[1], s[1]), (1, 1), name="conv2")
         self.bn2 = BatchNorm(name="bn2")
@@ -180,6 +184,7 @@ class ResMaskEmbedShortCutD(nn.Module):
     num_embed: int = 3
     late_downsample: bool = False
     lazy_os1_shortcut: bool = False
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, update_sn: bool = False):
@@ -205,6 +210,7 @@ class ResMaskEmbedShortCutD(nn.Module):
         return ResShortCutD(self.layers, num_mask=self.num_embed,
                             late_downsample=self.late_downsample,
                             lazy_os1_shortcut=self.lazy_os1_shortcut,
+                            s2d_stem=self.s2d_stem,
                             name="backbone")(inp, train, update_sn)
 
 

@@ -105,3 +105,38 @@ def test_eval_instance_count_slices(model_and_vars):
     batch = _batch(n_i=3, with_gt=False)
     out = model.apply(variables, batch, train=False)
     assert out["refined_masks"].shape == (1, 1, 3, 64, 64)
+
+
+def test_s2d_stem_parity(model_and_vars):
+    """encoder_args.s2d_stem lowers the 3x3/s2 stem conv onto the
+    space-to-depth tensor (models/layers.py:SNConv.s2d) — same parameter tree,
+    same outputs to float precision, in eval AND train mode."""
+    model, variables = model_and_vars
+    cfg = _image_cfg()
+    cfg.model.encoder_args.s2d_stem = True
+    model_s2d = build_model(cfg.model)
+    batch = _batch()
+
+    out_d = model.apply(variables, batch, train=False,
+                        rngs={"unknown": jax.random.PRNGKey(3)})
+    out_s = model_s2d.apply(variables, batch, train=False,
+                            rngs={"unknown": jax.random.PRNGKey(3)})
+    np.testing.assert_allclose(np.asarray(out_d["refined_masks"]),
+                               np.asarray(out_s["refined_masks"]),
+                               atol=1e-5, rtol=1e-5)
+
+    rngs = {"unknown": jax.random.PRNGKey(4), "dropout": jax.random.PRNGKey(5)}
+    kw = dict(train=True, update_sn=True, use_mask_atten=False,
+              use_gt_guidance=True, use_prm_weights=True, atten_loss_enabled=True,
+              rngs=rngs, mutable=["batch_stats", "spectral"])
+    (out_d, loss_d), mut_d = model.apply(variables, batch, **kw)
+    (out_s, loss_s), mut_s = model_s2d.apply(variables, batch, **kw)
+    np.testing.assert_allclose(float(loss_d["total"]), float(loss_s["total"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_d["refined_masks"]),
+                               np.asarray(out_s["refined_masks"]),
+                               atol=1e-4, rtol=1e-4)
+    d1 = jax.tree_util.tree_leaves(mut_d["batch_stats"])
+    d2 = jax.tree_util.tree_leaves(mut_s["batch_stats"])
+    for a, b in zip(d1, d2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
