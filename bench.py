@@ -114,6 +114,10 @@ def main():
         cfg = _image_model_cfg()
         cfg.model.precision = precision
         cfg.model.decoder_args.update(dict(sparse_mode="block", block_cap_frac=0.5))
+        # ad-hoc A/B knobs without editing this file, e.g.
+        #   BENCH_OVERRIDES="model.encoder_args.s2d_stem true" python bench.py
+        if os.environ.get("BENCH_OVERRIDES"):
+            cfg.merge_from_list(os.environ["BENCH_OVERRIDES"].split())
         model = build_model(cfg.model)
         # init at 64x64 (param shapes are resolution-independent): a full-res
         # init graph costs minutes of tunnel compile vs seconds for the tiny one
