@@ -113,6 +113,14 @@ class ConfigNode(dict):
 def _parse_literal(value: Any) -> Any:
     if not isinstance(value, str):
         return value
+    # yacs-style boolean/None words, any case: without this a NEW key on an
+    # open node (e.g. model.encoder_args.s2d_stem false) would store the string
+    # "false", which is truthy — a silent inversion.
+    low = value.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("none", "null"):
+        return None
     try:
         return ast.literal_eval(value)
     except (ValueError, SyntaxError):
