@@ -219,6 +219,9 @@ def default_config() -> ConfigNode:
     # ConvGRU state, engine/test.py:252-254) — False replicates that for parity;
     # True enables the fixed behavior.
     c.test.carry_memory = False
+    # streaming video eval: carry the frame-local encoder+ASPP features of the
+    # clip-overlap frames instead of recomputing them (exact; engine/test.py)
+    c.test.cache_features = True
 
     c.model = ConfigNode()
     c.model.weights = ""

@@ -204,7 +204,7 @@ def eval_image(model, variables, val_loader, log_iter, val_error_dict,
 
 def eval_video(model, variables, val_loader, log_iter, val_error_dict,
                do_postprocessing=False, callback=None, shape_bucketing=False,
-               carry_memory=False, **kwargs):
+               carry_memory=False, cache_features=True, **kwargs):
     """Reference ``eval_video`` (test.py:169-296): overlapping 3-frame clips with
     carried (mem_feat, prev_pred) state and rolling metric windows.
 
@@ -212,7 +212,14 @@ def eval_video(model, variables, val_loader, log_iter, val_error_dict,
     ``eval_image`` and crops outputs back, so a V-HIM-style sweep over videos of
     varied aspect ratio compiles a handful of programs instead of one per video.
     The carried device state (``prev_pred``, ConvGRU memory) stays at the bucket
-    shape — consistent within a video, and reset at every ``is_first``."""
+    shape — consistent within a video, and reset at every ``is_first``.
+
+    ``cache_features``: the encoder+ASPP half of the MaGGIe family is strictly
+    frame-local, so with overlapping windows (clip 3 / overlap 2) the features
+    of the 2 shared frames are carried from the previous window and only the
+    new frame is encoded — exact reuse the reference never does (it recomputes
+    the full window, ``maggie/engine/test.py:169-296``). Falls back to the
+    monolithic forward for models without the split (TCVOM, SparseMat)."""
     import jax.numpy as jnp
 
     batch_time = AverageMeter("batch_time")
@@ -224,6 +231,7 @@ def eval_video(model, variables, val_loader, log_iter, val_error_dict,
     mem_feats = None
     prev_pred = None
     prev_preds = None
+    feat_cache = None
 
     import jax
 
@@ -231,6 +239,17 @@ def eval_video(model, variables, val_loader, log_iter, val_error_dict,
     def fwd(batch, mem_feat, prev_pred):
         return model.apply(variables, batch, train=False,
                            mem_feat=mem_feat, prev_pred=prev_pred)
+
+    use_cache = bool(cache_features) and hasattr(model, "encode_frames")
+
+    @jax.jit
+    def encode(batch):
+        return model.apply(variables, batch, method="encode_frames")
+
+    @jax.jit
+    def decode(feats, mem_feat, prev_pred):
+        return model.apply(variables, feats, mem_feat=mem_feat,
+                           prev_pred=prev_pred, method="decode_window")
 
     for i, batch in enumerate(val_loader):
         data_time.update(time.time() - end_time)
@@ -241,13 +260,14 @@ def eval_video(model, variables, val_loader, log_iter, val_error_dict,
         alpha_gt = np.asarray(batch.pop("alpha"))
         is_first = bool(np.asarray(batch.pop("is_first"))[0])
         is_last = bool(np.asarray(batch.pop("is_last"))[0])
-        batch.pop("skip", None)
+        skip = int(np.asarray(batch.pop("skip", 0)))
 
         if is_first:
             all_preds = all_gts = all_trimap = None
             all_image_names = []
             mem_feats = None
             prev_pred = None
+            feat_cache = None
 
         video_name = image_names[0][0].split("/")[-2]
         if batch["mask"].sum() == 0:
@@ -264,7 +284,20 @@ def eval_video(model, variables, val_loader, log_iter, val_error_dict,
                 orig = (n_i, h, w)
 
         end_time = time.time()
-        output = fwd(dbatch, mem_feats, prev_pred)
+        if use_cache:
+            n_f = dbatch["image"].shape[1]
+            if feat_cache is not None and 0 < skip < n_f:
+                new_frames = {"image": dbatch["image"][:, skip:],
+                              "mask": dbatch["mask"][:, skip:]}
+                new_feats = encode(new_frames)
+                feat_cache = jax.tree_util.tree_map(
+                    lambda c, n: jnp.concatenate([c[n_f - skip:], n], axis=0),
+                    feat_cache, new_feats)
+            else:
+                feat_cache = encode(dbatch)
+            output = decode(feat_cache, mem_feats, prev_pred)
+        else:
+            output = fwd(dbatch, mem_feats, prev_pred)
         alpha_dev = output["refined_masks"]
         prev_pred = alpha_dev[:, 1]  # carried at the bucket shape
         alpha = np.asarray(alpha_dev)
@@ -380,7 +413,8 @@ def test(cfg, variables=None):
                                    do_postprocessing=cfg.test.postprocessing,
                                    callback=callback,
                                    shape_bucketing=bool(cfg.test.get("shape_bucketing", True)),
-                                   carry_memory=bool(cfg.test.get("carry_memory", False)))
+                                   carry_memory=bool(cfg.test.get("carry_memory", False)),
+                                   cache_features=bool(cfg.test.get("cache_features", True)))
     logger.info("Testing done!")
     peak_mb = device_peak_memory_mb()
     if peak_mb is not None:

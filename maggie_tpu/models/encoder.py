@@ -186,15 +186,25 @@ class ResMaskEmbedShortCutD(nn.Module):
     lazy_os1_shortcut: bool = False
     s2d_stem: bool = False
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not @nn.compact) so ``backbone`` is reachable from
+        # MaGGIe.decode_window, which re-binds the lazy os1-shortcut closure
+        # over cached encoder inputs (models/maggie.py). Param paths unchanged.
+        if self.num_embed > 0:
+            self.mask_embed_layer = nn.Embed(
+                self.num_mask + 1, self.num_embed,
+                embedding_init=nn.initializers.xavier_uniform())
+        self.backbone = ResShortCutD(self.layers, num_mask=self.num_embed,
+                                     late_downsample=self.late_downsample,
+                                     lazy_os1_shortcut=self.lazy_os1_shortcut,
+                                     s2d_stem=self.s2d_stem)
+
     def __call__(self, x: jax.Array, train: bool = False, update_sn: bool = False):
         inp = x[..., :3]
         if self.num_embed > 0:
             masks = x[..., 3:]  # (N, H, W, n_m), binary by contract
             n_m = masks.shape[-1]
-            table = nn.Embed(self.num_mask + 1, self.num_embed,
-                             embedding_init=nn.initializers.xavier_uniform(),
-                             name="mask_embed_layer")
+            table = self.mask_embed_layer
             # The reference gathers table[ids] with ids = mask_j * (j+1) and then
             # masked-means over instances excluding id 0 (resnet.py:218-226). For
             # binary masks that reduces to a LINEAR map — sum_j mask_j * table[j+1]
@@ -207,11 +217,7 @@ class ResMaskEmbedShortCutD(nn.Module):
             emb = jnp.einsum("nhwm,me->nhwe", m, table.embedding[1:n_m + 1])
             emb = emb / (m.sum(axis=-1, keepdims=True) + 1e-6)  # (N, H, W, num_embed)
             inp = jnp.concatenate([inp, emb.astype(inp.dtype)], axis=-1)
-        return ResShortCutD(self.layers, num_mask=self.num_embed,
-                            late_downsample=self.late_downsample,
-                            lazy_os1_shortcut=self.lazy_os1_shortcut,
-                            s2d_stem=self.s2d_stem,
-                            name="backbone")(inp, train, update_sn)
+        return self.backbone(inp, train, update_sn)
 
 
 ENCODER_OUT_CHANNELS = {"os1": 32, "os2": 32, "os4": 64, "os8": 128, "os16": 256, "os32": 512}

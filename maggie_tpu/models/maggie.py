@@ -184,6 +184,90 @@ class MaGGIe(nn.Module):
                 output[k] = pred[k]
         return output
 
+    # ----- split eval forward for the streaming feature cache -----
+    # Video streaming eval re-reads clip_length-overlap frames per window; the
+    # encoder+ASPP half is strictly frame-local (2D convs; all temporal mixing
+    # lives in the decoder), so its features can be carried across overlapping
+    # windows EXACTLY instead of recomputed (the reference recomputes the full
+    # window every step, ``maggie/engine/test.py:169-296``). The engine calls
+    # ``encode_frames`` on the new frame(s) only and ``decode_window`` on the
+    # rolled feature stack (engine/test.py eval_video, test.cache_features).
+
+    def encode_frames(self, batch: dict) -> dict:
+        """Frame-local eval half: input prep + encoder + ASPP. Returns a pure-
+        array feature pack (leading dim = frames) that ``decode_window``
+        consumes; cacheable/rollable across overlapping clip windows."""
+        x = batch["image"]                      # (1, n_f, H, W, 3)
+        masks = batch["mask"]                   # (1, n_f, n_i, hm, wm)
+        b, n_f, h, w, _ = x.shape
+        n_i = masks.shape[2]
+        x = x.reshape(b * n_f, h, w, 3).astype(self.compute_dtype)
+        if masks.shape[-1] != w:
+            masks = resize_nearest(masks.reshape(b * n_f, n_i, *masks.shape[-2:]), (h, w))
+        else:
+            masks = masks.reshape(b * n_f, n_i, h, w)
+        masks = masks.astype(x.dtype)
+        if self.num_masks > 0:
+            inp_masks = masks
+            if self.num_masks - n_i > 0:
+                pad = jnp.zeros((b * n_f, self.num_masks - n_i, h, w), x.dtype)
+                inp_masks = jnp.concatenate([masks, pad], axis=1)
+            inp = jnp.concatenate([x, jnp.transpose(inp_masks, (0, 2, 3, 1))], axis=-1)
+        else:
+            inp = x
+        embedding, mid_fea = self.encoder(inp, train=False, update_sn=False)
+        embedding = self.aspp(embedding, train=False)
+        fea1, fea2, fea3, fea4, fea5 = mid_fea["shortcut"]
+        feats = {"embedding": embedding, "fea2": fea2, "fea3": fea3,
+                 "fea4": fea4, "fea5": fea5, "image": mid_fea["image"],
+                 "masks": masks}
+        if fea1 is not None:
+            feats["fea1"] = fea1
+        if "shortcut0_input" in mid_fea:
+            feats["inp"] = mid_fea["shortcut0_input"]
+        return feats
+
+    def decode_window(self, feats: dict, prev_pred=None,
+                      mem_feat=None, **kwargs) -> dict:
+        """Decoder half over a (possibly cached) stacked feature window.
+        Output is identical to the eval branch of ``__call__`` on the same
+        frames (b=1 streaming eval)."""
+        masks = feats["masks"]
+        n_f, n_i, h, w = masks.shape
+        b = 1
+        mid_fea = {"shortcut": (feats.get("fea1"), feats["fea2"], feats["fea3"],
+                                feats["fea4"], feats["fea5"]),
+                   "image": feats["image"]}
+        if "inp" in feats:
+            backbone = getattr(self.encoder, "backbone", self.encoder)
+            mid_fea["shortcut0_fn"] = (
+                lambda patches, inner_mask=None: backbone.shortcut_0(
+                    patches, False, False, inner_mask))
+            mid_fea["shortcut0_input"] = feats["inp"]
+        pred = self.decoder(feats["embedding"], mid_fea, b=b, n_f=n_f, n_i=n_i,
+                            masks=masks, train=False, update_sn=False,
+                            mem_feat=mem_feat, **kwargs)
+        if isinstance(pred, tuple):
+            pred = pred[0]
+        if "refined_masks" in pred:
+            alpha_pred = pred.pop("refined_masks")
+        else:
+            alpha_pred, _, _ = self.fuse(pred, False, None, None)
+        pred.pop("weight_os4", None)
+        pred.pop("weight_os1", None)
+        output = self._transform_output(b, n_f, h, w, n_i, pred, alpha_pred, False)
+        for k, v in output.items():
+            output[k] = v[:, :, :n_i]
+        for k in pred:
+            if k.startswith("mem_"):
+                output[k] = pred[k]
+        return self._finalize_eval(output, prev_pred)
+
+    def _finalize_eval(self, output: dict, prev_pred) -> dict:
+        """Hook for subclass inference-time postprocessing (MaGGIeTemp's
+        temporal propagation rule)."""
+        return output
+
     def _extra_losses(self, pred, loss_dict):
         """Hook for subclass losses (reference ``update_additional_decoder_loss``)."""
 

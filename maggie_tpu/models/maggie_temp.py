@@ -38,8 +38,9 @@ class MaGGIeTemp(MaGGIe):
         if train:
             output, loss_dict = result
             return output, loss_dict
+        return self._finalize_eval(result, prev_pred)
 
-        output = result
+    def _finalize_eval(self, output: dict, prev_pred) -> dict:
         # alpha-matte level temporal aggregation (reference ``:37-75``)
         if "diff_pred_forward" in output:
             alphas = output["refined_masks"]  # (1, n_f, n_i, H, W)

@@ -117,3 +117,19 @@ def test_video_train_step(vim_root, tmp_path):
     cfg = _video_cfg(vim_root, str(tmp_path / "out_train"))
     state = run_train(cfg, use_wandb=False)
     assert int(state.step) == 2
+
+
+def test_video_eval_feature_cache_exact(vim_root, tmp_path):
+    """The streaming feature cache (test.cache_features: encoder+ASPP reuse
+    across the clip overlap, engine/test.py) must reproduce the monolithic
+    forward's metrics exactly — the reuse is of frame-local computation only."""
+    from maggie_tpu.engine.test import test as run_test
+    cfg = _video_cfg(vim_root, str(tmp_path / "out_nc"))
+    cfg.test.cache_features = False
+    base = run_test(cfg)
+    cfg2 = _video_cfg(vim_root, str(tmp_path / "out_c"))
+    cfg2.test.cache_features = True
+    cached = run_test(cfg2)
+    for k in ["MAD", "SAD", "dtSSD", "MESSDdt"]:
+        assert np.isfinite(cached[k])
+        np.testing.assert_allclose(cached[k], base[k], rtol=1e-4, atol=1e-6)
