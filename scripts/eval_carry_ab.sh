@@ -5,7 +5,9 @@
 # released-model eval run with FRESH memory every clip (maggie/engine/
 # test.py:252-254) — this quantifies what that bug costs in dtSSD.
 #
-# Usage: scripts/eval_carry_ab.sh <weights> [root] [split] [mask_dir] [out]
+# Usage: scripts/eval_carry_ab.sh <weights> [root] [split] [mask_dir] [out] [extra dotted overrides...]
+# e.g. a CPU-sized run: scripts/eval_carry_ab.sh W output/synth_vim eval xmem \
+#        output/carry_ab dataset.test.short_size 144 model.precision f32
 set -euo pipefail
 cd "$(dirname "$0")/.."
 WEIGHTS=$1
@@ -13,6 +15,8 @@ ROOT=${2:-output/synth_vim}
 SPLIT=${3:-eval}
 MASKS=${4:-xmem}
 OUT=${5:-output/carry_ab}
+shift $(( $# > 5 ? 5 : $# ))
+EXTRA=("$@")
 for MODE in false true; do
   NAME=carry_${MODE}
   python tools/main.py --config configs/maggie_video.yaml --eval-only \
@@ -22,7 +26,7 @@ for MODE in false true; do
     model.weights "$WEIGHTS" \
     model.precision bf16 \
     test.shape_bucketing true test.num_workers 2 test.log_iter 50 \
-    test.carry_memory "$MODE"
+    test.carry_memory "$MODE" "${EXTRA[@]}"
 done
 echo "=== fresh memory (parity mode) ==="
 grep -A10 "Metrics:" "$OUT/carry_false/test-log_rank0.log" | tail -11
