@@ -48,7 +48,7 @@ def _host_batch_to_device(batch: dict, mesh=None):
     return b
 
 
-def train(cfg, use_wandb: bool | None = None):
+def train(cfg, use_wandb: bool | None = None, is_sweep: bool = False):
     import jax
 
     from ..models import build_model
@@ -57,6 +57,23 @@ def train(cfg, use_wandb: bool | None = None):
                                     save_variables_npz)
 
     wandb = _wandb() if (use_wandb if use_wandb is not None else cfg.wandb.use) else None
+    if wandb is not None and jax.process_index() == 0:
+        # reference tools/main.py:45-53: sweep jobs skip init (the wandb agent
+        # already did it); cfg.wandb.id resumes an existing run
+        try:
+            if not is_sweep:
+                if cfg.wandb.id:
+                    wandb.init(project=cfg.wandb.project, entity=cfg.wandb.entity,
+                               name=cfg.name, id=cfg.wandb.id, resume="must")
+                else:
+                    wandb.init(project=cfg.wandb.project, entity=cfg.wandb.entity,
+                               name=cfg.name)
+            wandb.config.update(cfg.to_dict(), allow_val_change=True)
+        except Exception as exc:  # offline box / no API key: degrade to logs only
+            logger.warning(f"wandb unavailable ({exc}); continuing without it")
+            wandb = None
+    elif wandb is not None:
+        wandb = None  # non-zero process: rank-0-only logging, reference parity
     seed = cfg.train.seed if cfg.train.seed >= 0 else 2023
 
     logger.info("Creating train dataset...")

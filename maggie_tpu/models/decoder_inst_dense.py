@@ -64,12 +64,13 @@ class ResShortCutInstMattDec(nn.Module):
             output_dim=self.final_channel, max_inst=self.max_inst, return_feat=True,
             use_temp_pe=False, use_id_pe=self.use_id_pe, name="refine_OS8_mod")(
             z, masks5, use_mask_atten=use_mask_atten, gt_mask=gt_masks, train=train)
+        if not train:
+            # exact: per-channel ops commute with the slot slice (see decoder_sparse)
+            x_os8_logit = x_os8_logit[:, :n_i]
         x_os8 = resize_bilinear(x_os8_logit, (h, w), align_corners=False)
         x_os8 = (jnp.tanh(x_os8) + 1.0) / 2.0
         if train:
             x_os8 = x_os8 * valid_masks
-        else:
-            x_os8 = x_os8[:, :n_i]
 
         unknown_os8 = compute_unknown(x_os8, k_size=30, is_train=False)
 

@@ -517,13 +517,16 @@ class ResShortCutInstMattSpconvDec(nn.Module):
         from jax.ad_checkpoint import checkpoint_name
         x_os8_logit = checkpoint_name(x_os8_logit, "stage")
         feat8 = checkpoint_name(feat8, "stage")
+        if not train:
+            # slice the instance slots BEFORE the full-res upsample: resize and
+            # tanh act per channel, so this is exact and skips resizing the
+            # max_inst-n_i padded slots at full resolution
+            x_os8_logit = x_os8_logit[:, :n_i]
         x_os8 = resize_bilinear(x_os8_logit, (h, w), align_corners=False)
         x_os8 = (jnp.tanh(x_os8) + 1.0) / 2.0
 
         if train:
             x_os8 = x_os8 * valid_masks
-        else:
-            x_os8 = x_os8[:, :n_i]
 
         # warmup: guide the detail branch with GT alphas (:312-316); keep the
         # data-dependent all-zero rescue as a traced select

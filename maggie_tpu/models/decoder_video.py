@@ -162,12 +162,13 @@ class ResShortCutInstMattSpconvTempDec(ResShortCutInstMattSpconvDec):
         feat_os8 = jax.lax.stop_gradient(
             feat8.reshape(b, n_f, *feat8.shape[1:]))  # (b, n_f, h8, w8, c), :96
 
+        if not train:
+            # exact: per-channel ops commute with the slot slice (see decoder_sparse)
+            x_os8_logit = x_os8_logit[:, :n_i]
         x_os8 = resize_bilinear(x_os8_logit, (h, w), align_corners=False)
         x_os8 = (jnp.tanh(x_os8) + 1.0) / 2.0
         if train:
             x_os8 = x_os8 * valid_masks
-        else:
-            x_os8 = x_os8[:, :n_i]
 
         if train and gt_alphas is not None:
             gate = jnp.logical_or(use_gt_guidance, jnp.sum(x_os8) == 0)

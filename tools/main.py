@@ -41,6 +41,9 @@ def main() -> None:
     parser.add_argument("--config", required=True)
     parser.add_argument("--precision", type=int, default=32, choices=[16, 32])
     parser.add_argument("--eval-only", action="store_true")
+    parser.add_argument("--sweep-job", action="store_true",
+                        help="wandb sweep job: the agent already called wandb.init "
+                             "(reference tools/main.py:96)")
     parser.add_argument("--profile", default="", metavar="DIR",
                         help="capture a jax.profiler trace of the run into DIR")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
@@ -93,7 +96,7 @@ def main() -> None:
             with open(os.path.join(cfg.output_dir, "config.yaml"), "w") as f:
                 f.write(cfg.dump())
             from maggie_tpu.engine.train import train
-            train(cfg)
+            train(cfg, is_sweep=args.sweep_job)
         else:
             from maggie_tpu.engine.test import test
             test(cfg)
