@@ -20,7 +20,32 @@ Metrics accumulate (score, count); ``gather_metric`` all-reduces across JAX proc
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+
+def _metric_workers() -> int:
+    """Host-side metric parallelism width (reference: joblib over Conn's
+    threshold sweep, a multiprocessing Pool over MESSDdt's instances,
+    ``metric.py:224-289,450-531``). Threads instead of processes: the hot inner
+    ops (cv2.filter2D, cv2.calcOpticalFlowFarneback, scipy.ndimage.label, large
+    numpy ufuncs) release the GIL, and the 5-20 MB alpha maps are shared
+    zero-copy. Override with MAGGIE_METRIC_WORKERS; default = host cores."""
+    try:
+        return max(int(os.environ.get("MAGGIE_METRIC_WORKERS", os.cpu_count() or 1)), 1)
+    except ValueError:
+        return 1
+
+
+def _parallel_map(fn, items: list):
+    """Ordered map, threaded when it can help. Results are combined in item
+    order by every caller, so the output is bit-identical to the serial loop."""
+    if _metric_workers() <= 1 or len(items) <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(_metric_workers(), len(items))) as ex:
+        return list(ex.map(fn, items))
 
 
 def _reshape2d(x: np.ndarray) -> np.ndarray:
@@ -130,11 +155,13 @@ class Grad(Metric):
         # (metric.py:352-420) without a torch dependency in the shipped eval path
         import cv2
         img = img.astype(np.float32, copy=False)
-        gx = np.stack([cv2.filter2D(f, cv2.CV_32F, self.fx,
-                                    borderType=cv2.BORDER_CONSTANT) for f in img])
-        gy = np.stack([cv2.filter2D(f, cv2.CV_32F, self.fy,
-                                    borderType=cv2.BORDER_CONSTANT) for f in img])
-        return np.sqrt(gx ** 2 + gy ** 2)
+
+        def mag(f):
+            gx = cv2.filter2D(f, cv2.CV_32F, self.fx, borderType=cv2.BORDER_CONSTANT)
+            gy = cv2.filter2D(f, cv2.CV_32F, self.fy, borderType=cv2.BORDER_CONSTANT)
+            return np.sqrt(gx ** 2 + gy ** 2)
+
+        return np.stack(_parallel_map(mag, list(img)))
 
     def compute_metric(self, pred, gt, mask, **kw):
         # batch-global min-max normalization (metric.py:397-398)
@@ -161,13 +188,21 @@ class Conn(Metric):
         step = 0.1
         B = pred.shape[0]
         thresh = np.arange(0, 1 + step, step)
+        # the 11 largest-CC sweeps are independent per (map, threshold); only the
+        # round_down combine is ordered (reference parallelizes the same way with
+        # joblib, metric.py:224-289). Ordered combine => bit-identical to serial.
+        tasks = [(b, i) for b in range(B) for i in range(1, len(thresh))]
+
+        def omega_is_zero(t):
+            b, i = t
+            inter = ((gt[b] >= thresh[i]) & (pred[b] >= thresh[i])).astype(np.uint8)
+            return _largest_cc(inter) == 0
+
+        zeros = _parallel_map(omega_is_zero, tasks)
         round_down = -np.ones_like(gt)
-        for b in range(B):
-            for i in range(1, len(thresh)):
-                inter = ((gt[b] >= thresh[i]) & (pred[b] >= thresh[i])).astype(np.uint8)
-                omega = _largest_cc(inter)
-                m = (round_down[b] == -1) & (omega == 0)
-                round_down[b][m] = thresh[i - 1]
+        for (b, i), z in zip(tasks, zeros):
+            m = (round_down[b] == -1) & z
+            round_down[b][m] = thresh[i - 1]
         round_down[round_down == -1] = 1
         gt_diff = gt - round_down
         pred_diff = pred - round_down
@@ -243,12 +278,18 @@ class MESSDdt(Metric):
             mask = (trimap == 1).astype("float32")
         else:
             mask = np.ones_like(gt, dtype="float32")
-        error, count = 0.0, 0
-        for i in range(pred.shape[1]):
+        def per_instance(i):
+            # reference swallows per-instance failures (multiprocessing Pool,
+            # metric.py:450-531); errors become None and are skipped
             try:
-                e = self._single_video(pred[:, i], gt[:, i], mask[:, i])
-            except Exception as exc:  # reference swallows per-instance failures
+                return self._single_video(pred[:, i], gt[:, i], mask[:, i])
+            except Exception as exc:
                 print(exc)
+                return None
+
+        error, count = 0.0, 0
+        for e in _parallel_map(per_instance, list(range(pred.shape[1]))):
+            if e is None:
                 continue
             error += e * 10000
             count += 1

@@ -113,3 +113,26 @@ def test_mad_region_variants():
         diff = np.abs(pred - gt).reshape(-1, 16, 16) * mask.reshape(-1, 16, 16)
         want = (np.mean(diff, axis=(1, 2)) / (mask.reshape(-1, 16, 16).sum(axis=(1, 2)) + 1e-6)).sum() * 1e10 / mask.reshape(-1, 16, 16).shape[0]
         np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_parallel_metrics_match_serial(monkeypatch):
+    """The threaded host-metric path (_parallel_map) must be bit-identical to
+    the serial loop: the per-item work is independent and the combines are
+    ordered. Forced to 4 workers regardless of host core count."""
+    pred = _maps(21, 4, 2, 48, 48)
+    gt = _maps(22, 4, 2, 48, 48)
+    tri = _trimap(23, 4, 2, 48, 48)
+
+    def run():
+        out = {}
+        for name in ("Grad", "Conn", "MESSDdt"):
+            m = M.build_metric([name])[name]
+            out[name] = m.update(pred, gt, trimap=tri)
+        return out
+
+    monkeypatch.setenv("MAGGIE_METRIC_WORKERS", "1")
+    serial = run()
+    monkeypatch.setenv("MAGGIE_METRIC_WORKERS", "4")
+    parallel = run()
+    for name, want in serial.items():
+        np.testing.assert_array_equal(parallel[name], want, err_msg=name)
