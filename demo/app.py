@@ -110,13 +110,55 @@ def _propagated_masks(frames_dir, frame_names, masks_dir, propagator):
             for lm in label_maps]
 
 
+def _mux_video(frame_paths: list[str], out_base: str, fps: int = 8) -> str | None:
+    """Mux matte frames into a single video file (reference ffmpeg muxing,
+    ``demo/app.py:73-78``). Preference order: the ffmpeg binary when present
+    (reference parity), else cv2's MJPG AVI writer (no external binary), else a
+    PIL animated GIF. Returns the written path, or None if every backend fails."""
+    import shutil
+    import subprocess
+    if shutil.which("ffmpeg"):
+        out = out_base + ".mp4"
+        listing = out_base + "_frames.txt"
+        with open(listing, "w") as f:
+            f.writelines(f"file '{p}'\nduration {1 / fps}\n" for p in frame_paths)
+        r = subprocess.run(["ffmpeg", "-y", "-f", "concat", "-safe", "0", "-i",
+                            listing, "-pix_fmt", "yuv420p", out],
+                           capture_output=True)
+        if r.returncode == 0:
+            return out
+    try:
+        import cv2
+        first = np.array(Image.open(frame_paths[0]))
+        h, w = first.shape[:2]
+        out = out_base + ".avi"
+        vw = cv2.VideoWriter(out, cv2.VideoWriter_fourcc(*"MJPG"), fps, (w, h))
+        if vw.isOpened():
+            for p in frame_paths:
+                vw.write(np.array(Image.open(p).convert("RGB"))[:, :, ::-1])
+            vw.release()
+            return out
+    except Exception:
+        pass
+    try:
+        out = out_base + ".gif"
+        ims = [Image.open(p).convert("RGB") for p in frame_paths]
+        ims[0].save(out, save_all=True, append_images=ims[1:],
+                    duration=int(1000 / fps), loop=0)
+        return out
+    except Exception:
+        return None
+
+
 def inference_video(args, frames_dir: str, masks_dir: str | None,
                     propagator: str, out_dir: str):
     """Streaming video matting over a frame directory. ``masks_dir`` holds one
     subdir per frame with per-instance PNGs (what XMem/SAM2 would emit); if it
     covers only the first frame — or is absent entirely (MaskRCNN detects on
     frame 0) — the propagator backend fills in the rest (``flow`` runs offline
-    today; xmem/sam2 raise their recipes)."""
+    today; xmem/sam2 raise their recipes). Returns ``(frame_paths, video_path)``
+    where the frames are also muxed into one video file (reference
+    ``demo/app.py:73-78``)."""
     model, variables = _video_model(args)
     frame_names = sorted(os.listdir(frames_dir))
     have_all = bool(masks_dir) and all(
@@ -159,7 +201,8 @@ def inference_video(args, frames_dir: str, masks_dir: str | None,
             grid = np.concatenate([np.array(c) for c in comp], axis=1)
             Image.fromarray(grid).save(path)
             written.append(path)
-    return written
+    video = _mux_video(written, os.path.join(out_dir, "matte_video"))
+    return written, video
 
 
 # ------------------------------------------------------------------ gradio UI
@@ -185,11 +228,11 @@ def launch_gradio(args):
 
     def vid_fn(frames_dir, masks_dir, propagator):
         try:
-            files = inference_video(args, frames_dir, masks_dir or None,
-                                    propagator, tempfile.mkdtemp())
+            files, video = inference_video(args, frames_dir, masks_dir or None,
+                                           propagator, tempfile.mkdtemp())
         except RuntimeError as e:
             raise gr.Error(str(e))
-        return [Image.open(f) for f in files[:16]]
+        return [Image.open(f) for f in files[:16]], video
 
     demo_video = gr.Interface(
         vid_fn,
@@ -197,7 +240,8 @@ def launch_gradio(args):
                 gr.Textbox(label="Masks directory (optional)"),
                 gr.Radio(["flow", "xmem", "sam2"], value="flow",
                          label="Propagator")],
-        outputs=gr.Gallery(label="Matte composites"),
+        outputs=[gr.Gallery(label="Matte composites"),
+                 gr.File(label="Matte video")],
         description="Streaming video matting.")
 
     gr.TabbedInterface([demo_image, demo_video], tab_names=["image", "video"],
@@ -274,11 +318,12 @@ def launch_http(args):
                 elif self.path == "/video":
                     q = parse_qs(self.rfile.read(
                         int(self.headers["Content-Length"])).decode())
-                    files = inference_video(
+                    files, video = inference_video(
                         args, q["frames"][0],
                         (q.get("masks") or [None])[0] or None,
                         (q.get("prop") or ["flow"])[0], tempfile.mkdtemp())
-                    self._send(200, "<br>".join(files))
+                    self._send(200, "<br>".join(
+                        ([f"video: {video}"] if video else []) + files))
                 else:
                     self._send(404, "not found")
             except Exception as e:  # surface recipe errors in the browser

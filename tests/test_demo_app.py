@@ -178,19 +178,23 @@ def test_video_inference_first_frame_only_masks(tmp_path, monkeypatch):
         weights = video_weights = ""
 
     monkeypatch.setitem(app._STATE, "video_model", (model, variables))
-    written = app.inference_video(Args(), str(frames_dir), str(masks_dir),
-                                  "flow", str(tmp_path / "out"))
+    written, video = app.inference_video(Args(), str(frames_dir), str(masks_dir),
+                                         "flow", str(tmp_path / "out"))
     assert len(written) == 4
     for p in written:
         assert os.path.exists(p)
+    # the frames are muxed into one video artifact (reference demo/app.py:73-78)
+    assert video is not None and os.path.exists(video)
+    assert os.path.getsize(video) > 0
+    assert os.path.splitext(video)[1] in (".mp4", ".avi", ".gif")
 
     # videos shorter than the 3-frame clip window (last-frame padding path)
     short_dir = tmp_path / "frames2"
     short_dir.mkdir()
     for t in range(2):
         Image.open(frames_dir / f"f{t}.png").save(short_dir / f"f{t}.png")
-    written2 = app.inference_video(Args(), str(short_dir), str(masks_dir),
-                                   "flow", str(tmp_path / "out2"))
+    written2, _ = app.inference_video(Args(), str(short_dir), str(masks_dir),
+                                      "flow", str(tmp_path / "out2"))
     assert len(written2) == 2
     for p in written2:
         assert os.path.exists(p)
