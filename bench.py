@@ -191,16 +191,19 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / ROUND1_BASELINE_FPS, 4),
     }
-    # sidecar: record this real measurement for the stale fallback path
-    try:
-        os.makedirs(os.path.dirname(SIDECAR), exist_ok=True)
-        with open(SIDECAR, "w") as f:
-            json.dump({**result, "f32_companion": round(fps32, 4),
-                       "dispatch_ms": round(dispatch * 1e3, 2), "iters": iters,
-                       "measured_at": time.strftime("%Y-%m-%d %H:%M:%S")}, f)
-    except OSError as e:
-        print(f"[bench] WARNING: could not write sidecar {SIDECAR}: {e}",
-              file=sys.stderr)
+    # sidecar: record this real measurement for the stale fallback path —
+    # but only for the headline condition (a BENCH_OVERRIDES A/B run measures a
+    # different configuration and must not masquerade as the headline)
+    if not os.environ.get("BENCH_OVERRIDES"):
+        try:
+            os.makedirs(os.path.dirname(SIDECAR), exist_ok=True)
+            with open(SIDECAR, "w") as f:
+                json.dump({**result, "f32_companion": round(fps32, 4),
+                           "dispatch_ms": round(dispatch * 1e3, 2), "iters": iters,
+                           "measured_at": time.strftime("%Y-%m-%d %H:%M:%S")}, f)
+        except OSError as e:
+            print(f"[bench] WARNING: could not write sidecar {SIDECAR}: {e}",
+                  file=sys.stderr)
     print(json.dumps(result))
 
 

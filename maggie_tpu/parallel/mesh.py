@@ -69,3 +69,32 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+# ---------------------------------------------------------------- multiprocess
+# The reference's DDP spans OS processes (one per GPU, torchrun); its gradient
+# all-reduce crosses process boundaries over NCCL (engine/train.py:163-164).
+# The TPU equivalent: a mesh over ALL global devices (jax.devices() is global
+# after jax.distributed.initialize), with each process contributing its local
+# batch shard. XLA then inserts the cross-process grad/BN collectives exactly
+# as it does intra-process — same train step, same code path.
+
+def shard_batch_global(local_batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
+    """Multi-process batch placement: each process passes its LOCAL shard of the
+    batch (the loader's per-process shard); returns global arrays whose leading
+    dim is the GLOBAL batch, sharded over ``axis_name``. Single-process this
+    degenerates to ``shard_batch`` semantics."""
+    from jax.experimental import multihost_utils
+    return jax.tree_util.tree_map(
+        lambda x: multihost_utils.host_local_array_to_global_array(
+            x, mesh, P(axis_name)), local_batch)
+
+
+def replicate_global(tree: Any, mesh: Mesh) -> Any:
+    """Multi-process replication: every process passes the SAME host value (e.g.
+    a seeded-identically initialized train state); returns globally replicated
+    arrays usable by a jitted step over the global mesh."""
+    from jax.experimental import multihost_utils
+    return jax.tree_util.tree_map(
+        lambda x: multihost_utils.host_local_array_to_global_array(x, mesh, P()),
+        tree)

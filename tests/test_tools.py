@@ -44,8 +44,19 @@ def test_synthesize_image_him(tmp_path):
 
 def test_extract_results(tmp_path):
     log = tmp_path / "test-log_rank0.log"
+    # the real log format: each run echoes its merged config (tools/main.py),
+    # then prints the metric block; the train section's own mask_dir_name/split
+    # must be ignored (same gating as the reference parser)
     log.write_text(
-        "INFO: merged dataset.test.split=natural dataset.test.mask_dir_name=masks_matched_r50_fpn_3x\n"
+        "INFO root: Config:\n"
+        "dataset:\n"
+        "  test:\n"
+        "    alpha_dir_name: alphas\n"
+        "    mask_dir_name: masks_matched_r50_fpn_3x\n"
+        "    split: natural\n"
+        "  train:\n"
+        "    mask_dir_name: masks\n"
+        "    split: train\n"
         "INFO maggie_tpu.engine.test: Metrics:\n"
         "MAD: 27.17\nMSE: 10.0\nSAD: 5.0\nGrad: 9.94\nConn: 3.3\n"
         "MAD_fg: 1.0\nMAD_bg: 2.0\nMAD_unk: 3.0\n")

@@ -16,27 +16,39 @@ METRIC_KEYS = ["MAD", "MAD_fg", "MAD_unk", "MSE", "SAD", "Grad", "Conn"]
 
 
 def parse_log(path: str) -> list[dict]:
+    """One run per ``test:`` config-dump section (each eval run logs its merged
+    config, tools/main.py). The reference parser gates on the ``  test:`` line
+    and consumes the first mask_dir_name/split after it
+    (``/root/reference/tools/extract_results.py:29-40``) so the train section's
+    own mask_dir_name/split keys are ignored; same discipline here."""
     runs: list[dict] = []
     current: dict = {}
     in_metrics = 0
+    in_test_section = 0  # >0: accept the next mask/split keys (2 max)
     with open(path) as f:
         for line in f:
-            m = re.search(r"mask_dir_name[=:]\s*(\S+)", line)
-            if m and "masks" in m.group(1):
+            if re.search(r"(^|\n)\s+test:\s*$", line):
                 if current.get("metrics"):
                     runs.append(current)
-                current = {"masks": m.group(1).replace("masks_matched_", ""),
-                           "split": current.get("split", ""), "metrics": {}}
-            m = re.search(r"\bsplit[=:]\s*(\S+)", line)
-            if m:
-                current.setdefault("metrics", {})
-                current["split"] = m.group(1)
+                current = {"masks": "", "split": "", "metrics": {}}
+                in_test_section = 2
+            if in_test_section > 0:
+                m = re.search(r"mask_dir_name[=:]\s*(\S+)", line)
+                if m:
+                    current["masks"] = m.group(1).replace("masks_matched_", "")
+                    in_test_section -= 1
+                m = re.search(r"\bsplit[=:]\s*(\S+)", line)
+                if m:
+                    current["split"] = m.group(1)
+                    in_test_section -= 1
             if "Metrics:" in line:
                 in_metrics = 12
                 continue
             if in_metrics > 0:
                 in_metrics -= 1
-                m = re.match(r".*?(\w+):\s*([-\d.eE]+)\s*$", line)
+                # value charset includes nan/inf (the reference parser also
+                # float()s whatever follows the colon, extract_results.py:47)
+                m = re.match(r".*?(\w+):\s*([-+\d.eE]+|nan|inf|-inf)\s*$", line)
                 if m and m.group(1) in METRIC_KEYS + ["MAD_bg", "dtSSD", "MESSDdt"]:
                     current.setdefault("metrics", {})[m.group(1)] = float(m.group(2))
     if current.get("metrics"):

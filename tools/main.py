@@ -65,6 +65,9 @@ def main() -> None:
 
     cfg.output_dir = os.path.join(cfg.output_dir, cfg.name)
     setup_logging(cfg, args.eval_only)
+    # echo the merged config into the log (reference tools/main.py:38) — the
+    # eval sweep's results.csv extraction reads split/mask_dir_name from here
+    logging.info("Config:\n" + cfg.dump())
 
     # seeding (reference tools/main.py:131-137); JAX kernels take explicit keys,
     # these cover host-side numpy/python randomness
