@@ -184,26 +184,88 @@ class FlowPropagator:
         return out
 
 
-class XMemPropagator:
+class _SubprocessPropagator:
+    """Shared wiring for the learned propagators: the reference shells out to a
+    processor script in the external model's own environment
+    (``demo/app.py:35-43``); here the exchange is an explicit directory
+    protocol (frames + first_mask in, per-frame label maps out) driven by a
+    worker script, so the external repo/weights/python are all configurable:
+
+    - ``<NAME>_DIR``     env (or ctor arg): the upstream repo checkout
+    - ``<NAME>_WEIGHTS`` env (or ctor arg): the checkpoint path
+    - ``<NAME>_PYTHON``  env: python executable of the repo's venv
+      (defaults to this interpreter)
+
+    Missing repo/weights raise the setup recipe, exactly delimiting what a
+    user must supply."""
+
+    NAME = ""        # env prefix
+    WORKER = ""      # worker script next to this file
+    RECIPE = ""
+
+    def __init__(self, repo_dir: str | None = None,
+                 weights: str | None = None):
+        self.repo_dir = repo_dir or os.environ.get(f"{self.NAME}_DIR", "")
+        self.weights = weights or os.environ.get(f"{self.NAME}_WEIGHTS", "")
+        self.python = os.environ.get(f"{self.NAME}_PYTHON", "") or None
+        if not (self.repo_dir and os.path.isdir(self.repo_dir)
+                and self.weights and os.path.exists(self.weights)):
+            raise RuntimeError(self.RECIPE)
+
+    def propagate(self, frames, first_mask):
+        import subprocess
+        import sys
+        import tempfile
+        exchange = tempfile.mkdtemp(prefix=f"{self.NAME.lower()}_exchange_")
+        fdir = os.path.join(exchange, "frames")
+        os.makedirs(fdir)
+        names = [f"{t:05d}.png" for t in range(len(frames))]
+        for name, frame in zip(names, frames):
+            frame.convert("RGB").save(os.path.join(fdir, name))
+        Image.fromarray(first_mask.astype(np.uint8)).save(
+            os.path.join(exchange, "first_mask.png"))
+        worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              self.WORKER)
+        r = subprocess.run(
+            [self.python or sys.executable, worker, exchange, self.repo_dir,
+             self.weights],
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"{self.WORKER} failed (rc={r.returncode}):\n{r.stderr[-2000:]}")
+        out = []
+        for name in names:
+            p = os.path.join(exchange, "masks", os.path.splitext(name)[0] + ".png")
+            if not os.path.exists(p):
+                raise RuntimeError(f"{self.WORKER} produced no mask for {name}")
+            out.append(np.array(Image.open(p).convert("L")))
+        return out
+
+
+class XMemPropagator(_SubprocessPropagator):
+    NAME = "XMEM"
+    WORKER = "xmem_worker.py"
     RECIPE = (
         "XMem propagation needs the upstream repo + checkpoint: "
-        "`git clone https://github.com/hkchengrex/XMem` on PYTHONPATH and "
-        "saves/XMem.pth (the reference shells out to demo/xmem_processor.py "
-        "the same way, demo/app.py:35-38). Masks produced by it can be fed to "
-        "this demo via MaskFileSegmenter / the mask-directory input."
+        "`git clone https://github.com/hkchengrex/XMem` and XMem.pth "
+        "(https://github.com/hkchengrex/XMem/releases/download/v1.0/XMem.pth — "
+        "the reference wgets the same file, demo/xmem_processor.py:18-19). "
+        "Point XMEM_DIR at the checkout, XMEM_WEIGHTS at the .pth (and "
+        "XMEM_PYTHON at its venv's python if separate), then re-run. "
+        "Alternatively feed externally-produced masks via MaskFileSegmenter / "
+        "the mask-directory input."
     )
 
-    def __init__(self, *a, **kw):
-        raise RuntimeError(self.RECIPE)
 
-
-class Sam2Propagator:
+class Sam2Propagator(_SubprocessPropagator):
+    NAME = "SAM2"
+    WORKER = "sam2_worker.py"
     RECIPE = (
-        "SAM2/Samurai propagation needs the upstream sam2 package + "
-        "checkpoint (the reference vendors a patched sam2_base.py and runs "
-        "demo/samurai_processor.py, demo/app.py:40-43). Masks produced by it "
-        "can be fed via MaskFileSegmenter / the mask-directory input."
+        "SAM2/Samurai propagation needs the upstream sam2 (or samurai) "
+        "package + checkpoint (the reference vendors a patched sam2_base.py "
+        "and runs demo/samurai_processor.py, demo/app.py:40-43). Point "
+        "SAM2_DIR at the repo (the dir containing the `sam2` package), "
+        "SAM2_WEIGHTS at the checkpoint, and SAM2_PYTHON at its venv's python "
+        "if separate, then re-run. Alternatively feed externally-produced "
+        "masks via MaskFileSegmenter / the mask-directory input."
     )
-
-    def __init__(self, *a, **kw):
-        raise RuntimeError(self.RECIPE)
