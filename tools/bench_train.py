@@ -50,6 +50,20 @@ def main(batch_size=2, remat=True, sparse_mode="oracle", precision="fp32",
               use_prm_weights=True, atten_loss_enabled=True)
     state, ld = step(state, batch, jax.random.PRNGKey(1), **kw)
     print("compile ok, loss:", float(ld["total"]), flush=True)
+    # compiled HBM footprint: the tunneled platform exposes no live
+    # memory_stats(), so report XLA's own allocation analysis of the step
+    try:
+        ma = step.lower(state, batch, jax.random.PRNGKey(1), **kw).compile().memory_analysis()
+        if ma is not None:
+            tot = (ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                   + ma.output_size_in_bytes - ma.alias_size_in_bytes)
+            print(f"xla memory analysis: temp {ma.temp_size_in_bytes / 2**30:.2f} GiB, "
+                  f"args {ma.argument_size_in_bytes / 2**30:.2f} GiB, "
+                  f"out {ma.output_size_in_bytes / 2**30:.2f} GiB, "
+                  f"aliased -{ma.alias_size_in_bytes / 2**30:.2f} GiB "
+                  f"=> peak ~{tot / 2**30:.2f} GiB", flush=True)
+    except Exception as e:
+        print(f"memory analysis unavailable: {e}", flush=True)
     t0 = time.perf_counter()
     iters = 5
     for _ in range(iters):
