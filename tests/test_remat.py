@@ -40,8 +40,10 @@ def _batch(bs=1, h=64, w=64, n_i=2, seed=0):
     }
 
 
-@pytest.mark.parametrize("mode", ["full", "selective"])
-def test_remat_matches_no_remat(mode):
+def test_remat_matches_no_remat():
+    # one test, three compiles: the "none" reference step is compiled ONCE and
+    # both remat modes compare against it (the parametrized version recompiled
+    # it per mode — the single most expensive redundancy in the suite)
     cfg = _tiny_cfg()
     model = build_model(cfg.model)
     tx, _ = build_optimizer(cfg)
@@ -49,15 +51,16 @@ def test_remat_matches_no_remat(mode):
     kw = dict(use_mask_atten=False, use_gt_guidance=True,
               use_prm_weights=True, atten_loss_enabled=True)
 
-    losses, params = [], []
-    for remat in ("none", mode):
+    losses, params = {}, {}
+    for remat in ("none", "full", "selective"):
         state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
         step = make_train_step(model, tx, remat=remat)
         state, ld = step(state, batch, jax.random.PRNGKey(1), **kw)
-        losses.append(float(ld["total"]))
-        params.append(jax.device_get(state.params))
+        losses[remat] = float(ld["total"])
+        params[remat] = jax.device_get(state.params)
 
-    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
-    diffs = jax.tree_util.tree_map(
-        lambda a, b: float(np.max(np.abs(a - b))), params[0], params[1])
-    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+    for mode in ("full", "selective"):
+        np.testing.assert_allclose(losses["none"], losses[mode], rtol=1e-5)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.max(np.abs(a - b))), params["none"], params[mode])
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5, mode

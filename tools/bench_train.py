@@ -1,6 +1,7 @@
 """Training-step throughput on the local chip: image config shapes (512x512 crops,
 max_inst=10), single-chip batch. Reports steps/sec and samples/sec."""
 
+import os
 import sys
 import time
 
@@ -51,19 +52,13 @@ def main(batch_size=2, remat=True, sparse_mode="oracle", precision="fp32",
     state, ld = step(state, batch, jax.random.PRNGKey(1), **kw)
     print("compile ok, loss:", float(ld["total"]), flush=True)
     # compiled HBM footprint: the tunneled platform exposes no live
-    # memory_stats(), so report XLA's own allocation analysis of the step
-    try:
-        ma = step.lower(state, batch, jax.random.PRNGKey(1), **kw).compile().memory_analysis()
-        if ma is not None:
-            tot = (ma.temp_size_in_bytes + ma.argument_size_in_bytes
-                   + ma.output_size_in_bytes - ma.alias_size_in_bytes)
-            print(f"xla memory analysis: temp {ma.temp_size_in_bytes / 2**30:.2f} GiB, "
-                  f"args {ma.argument_size_in_bytes / 2**30:.2f} GiB, "
-                  f"out {ma.output_size_in_bytes / 2**30:.2f} GiB, "
-                  f"aliased -{ma.alias_size_in_bytes / 2**30:.2f} GiB "
-                  f"=> peak ~{tot / 2**30:.2f} GiB", flush=True)
-    except Exception as e:
-        print(f"memory analysis unavailable: {e}", flush=True)
+    # memory_stats(), so report XLA's own allocation analysis of the step.
+    # Opt-out via BENCH_TRAIN_NO_MEMINFO=1: the lowered-executable compile is a
+    # SECOND multi-minute tunnel compile that pure-throughput runs can skip.
+    if os.environ.get("BENCH_TRAIN_NO_MEMINFO"):
+        pass
+    else:
+        _mem_analysis(step, state, batch, kw)
     t0 = time.perf_counter()
     iters = 5
     for _ in range(iters):
@@ -75,6 +70,27 @@ def main(batch_size=2, remat=True, sparse_mode="oracle", precision="fp32",
     print(f"bs={batch_size} remat={remat} sparse={sparse_mode} prec={precision}: "
           f"{dt*1000:.1f} ms/step, {batch_size/dt:.2f} samples/sec"
           + (f", peak {peak:.0f}MB" if peak is not None else ""), flush=True)
+
+
+def _mem_analysis(step, state, batch, kw):
+    import jax
+    try:
+        compiled = step.lower(state, batch, jax.random.PRNGKey(1), **kw).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca and ca.get("flops"):
+            print(f"xla cost analysis: {ca['flops'] / 1e12:.2f} TFLOP/step", flush=True)
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            tot = (ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                   + ma.output_size_in_bytes - ma.alias_size_in_bytes)
+            print(f"xla memory analysis: temp {ma.temp_size_in_bytes / 2**30:.2f} GiB, "
+                  f"args {ma.argument_size_in_bytes / 2**30:.2f} GiB, "
+                  f"out {ma.output_size_in_bytes / 2**30:.2f} GiB, "
+                  f"aliased -{ma.alias_size_in_bytes / 2**30:.2f} GiB "
+                  f"=> peak ~{tot / 2**30:.2f} GiB", flush=True)
+    except Exception as e:
+        print(f"memory analysis unavailable: {e}", flush=True)
 
 
 if __name__ == "__main__":
