@@ -182,15 +182,25 @@ def _gather_mask_via_packed(mask, idx_n, idx_by, idx_bx, block: int, halo: int,
 
     Pure indexing transform: pack, gather packed windows (block/4, ceil-halo),
     unpack, slice the exact (block + 2*halo) window. Exact for any gather_fn;
-    requires block % 32 == 0 so the packed block*C stays 128-aligned."""
+    requires block % 32 == 0 so the packed block*C stays 128-aligned.
+
+    Channel bijection: each packed site's 16 channels hold one 4x4 pixel tile,
+    and ANY within-tile ordering works as long as pack and unpack agree. The
+    order used is c = 4*col_phase + row_phase, which lowers to a
+    (..., 4, W) -> (..., W, 4) transpose of whole rows instead of the 6D
+    4x4-tile shuffle (c = 4*row_phase + col_phase). Measured in the real graph
+    context (producer = the Pallas ``compute_unknown`` kernel at 576x1024x3):
+    the tile-shuffle order cost 0.66 ms/frame of pure layout work — the single
+    largest op in the round-4 eval trace — while the row-interleave order
+    composes with the producer's output layout at 0.02 ms (27x)."""
     n, h, w, _ = mask.shape
-    m = (mask.reshape(n, h // 4, 4, w // 4, 4, 1)
-         .transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 4, w // 4, 16))
+    m = (mask.reshape(n, h // 4, 4, w)
+         .transpose(0, 1, 3, 2).reshape(n, h // 4, w // 4, 16))
     bp, hp = block // 4, -(-halo // 4)
     p = gather_fn(m, idx_n, idx_by, idx_bx, bp, hp)        # (cap, s, s, 16)
     cap, s = p.shape[0], p.shape[1]
-    full = (p.reshape(cap, s, s, 4, 4, 1)
-            .transpose(0, 1, 3, 2, 4, 5).reshape(cap, s * 4, s * 4, 1))
+    full = (p.reshape(cap, s, 4 * s, 4)
+            .transpose(0, 1, 3, 2).reshape(cap, s * 4, s * 4, 1))
     off = hp * 4 - halo
     size = block + 2 * halo
     return full[:, off:off + size, off:off + size]
