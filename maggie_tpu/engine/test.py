@@ -190,6 +190,13 @@ def eval_image(model, variables, val_loader, log_iter, val_error_dict,
 
         t_fwd = time.time()
         output = fwd(dbatch)  # async dispatch
+        # Start the device->host copy of the one array the host consumes as
+        # soon as the forward finishes, so the transfer rides under the
+        # PREVIOUS batch's host-side work (reverse_transform + metrics)
+        # instead of serializing in front of it inside process().
+        rm = output.get("refined_masks")
+        if hasattr(rm, "copy_to_host_async"):
+            rm.copy_to_host_async()
         ti = transform_info[0] if isinstance(transform_info, list) else transform_info
         meta = (image_names, alpha_names, ti, trimap, alpha_gt, skip, t_fwd, orig)
         if pending is not None:

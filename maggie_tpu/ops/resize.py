@@ -70,6 +70,27 @@ def resize_bilinear(x: jax.Array, size: tuple[int, int], align_corners: bool = F
     return y.reshape(lead + (h_out, w_out)).astype(dtype)
 
 
+def resize_bilinear_np(x: np.ndarray, size: tuple[int, int],
+                       align_corners: bool = False) -> np.ndarray:
+    """Host (numpy) twin of :func:`resize_bilinear` — same interpolation
+    matrices, same f32 matmul math, no device round trip. Used by eval's
+    ``reverse_transform`` where per-image original sizes vary (a device resize
+    there would compile one program per unique size AND pay two host<->device
+    transfers per image — measured ~0.4 s/image over the tunneled chip)."""
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    h_out, w_out = size
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    dtype = x.dtype
+    wh = _linear_weight_matrix(h_in, h_out, align_corners)
+    ww = _linear_weight_matrix(w_in, w_out, align_corners)
+    lead = x.shape[:-2]
+    y = x.reshape((-1, h_in, w_in)).astype(np.float32)
+    y = np.einsum("oh,bhw->bow", wh, y)
+    y = np.einsum("bow,pw->bop", y, ww)
+    return y.reshape(lead + (h_out, w_out)).astype(dtype)
+
+
 def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
     """Nearest resize of the last two dims, matching torch legacy ``mode='nearest'``."""
     h_in, w_in = x.shape[-2], x.shape[-1]

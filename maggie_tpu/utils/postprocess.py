@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.resize import resize_bilinear
+from ..ops.resize import resize_bilinear_np
 
 
 def _reshape2d(x):
@@ -17,10 +17,11 @@ def reverse_transform(img: np.ndarray, transform_info: list[dict]) -> np.ndarray
     """Replay recorded transforms backwards. img: (bs, ..., h, w) numpy.
 
     ``padding`` entries crop the recorded pad; ``resize`` entries bilinear-resize
-    back to the original size with align_corners=True (reference ``:59``).
+    back to the original size with align_corners=True (reference ``:59``),
+    computed on the HOST (``resize_bilinear_np``): original sizes vary per
+    image, so a device resize would compile one program per unique size and
+    pay two host<->device transfers per image.
     """
-    import jax.numpy as jnp
-
     img_shape = list(img.shape)
     x = _reshape2d(img)
     for t in transform_info[::-1]:
@@ -31,9 +32,10 @@ def reverse_transform(img: np.ndarray, transform_info: list[dict]) -> np.ndarray
             x = x[:, : h - pad_h, : w - pad_w]
         elif name == "resize":
             h, w = [int(v) for v in t["ori_size"]]
-            x = np.asarray(resize_bilinear(jnp.asarray(x), (h, w), align_corners=True))
+            x = resize_bilinear_np(x, (h, w), align_corners=True)
             img_shape[-2:] = [h, w]
-    # jnp-backed buffers are read-only; callers mutate (threshold clamps)
+    # always copy: the un-resized path can alias a read-only jax host buffer,
+    # and callers mutate (threshold clamps)
     return np.array(x.reshape(img_shape))
 
 

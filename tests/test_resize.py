@@ -22,6 +22,16 @@ def test_bilinear_matches_torch(align_corners, in_size, out_size):
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize("in_size,out_size", [((17, 23), (34, 46)), ((32, 32), (13, 9)), ((8, 8), (64, 64)), ((15, 20), (15, 20))])
+def test_bilinear_np_matches_torch(align_corners, in_size, out_size):
+    # host twin used by reverse_transform (no device round trip per image)
+    x = _rand(2, 3, *in_size, seed=7)
+    ref = F.interpolate(torch.from_numpy(x), size=out_size, mode="bilinear", align_corners=align_corners).numpy()
+    got = R.resize_bilinear_np(x, out_size, align_corners=align_corners)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("in_size,out_size", [((17, 23), (34, 46)), ((32, 32), (13, 9)), ((9, 9), (72, 72))])
 def test_nearest_matches_torch(in_size, out_size):
     x = _rand(2, 3, *in_size, seed=1)
