@@ -96,7 +96,14 @@ def main():
         _probe_backend()
     except BackendUnreachable as exc:
         # Honest stale fallback: re-emit the sidecar written by the last real
-        # run; "stale" marks that THIS run could not re-measure it.
+        # run; "stale" marks that THIS run could not re-measure it. An A/B
+        # run (BENCH_OVERRIDES) measures a DIFFERENT configuration — re-
+        # emitting the headline sidecar under it would mislabel the result.
+        if os.environ.get("BENCH_OVERRIDES"):
+            raise SystemExit(
+                f"{exc}; BENCH_OVERRIDES is set "
+                f"({os.environ['BENCH_OVERRIDES']!r}) and the sidecar records "
+                f"the headline configuration, not this one — no fallback")
         try:
             with open(SIDECAR) as f:
                 last = json.load(f)
@@ -145,7 +152,12 @@ def main():
     float(empty(jnp.float32(0.0)))
     dispatch = min(_timed(lambda: float(empty(jnp.float32(0.0)))) for _ in range(5))
 
-    def measure(precision):
+    def measure(precision, n_windows):
+        """Run ``n_windows`` repeated ``iters``-frame scan windows and return
+        the per-window dispatch-corrected f/s list. The HEADLINE is the
+        MEDIAN window (robust to shared-tunnel noise, which has measured
+        ~11% session spread — docs/DESIGN.md); min/max are reported so any
+        future A/B can be judged against the same-session spread."""
         from __graft_entry__ import _init_variables
         cfg = _image_model_cfg()
         cfg.model.precision = precision
@@ -171,25 +183,29 @@ def main():
 
         fwd = jax.jit(run)
         float(fwd(variables, batch, jnp.float32(0.0)))  # compile + warmup + sync
-        best = min(_timed(lambda: float(fwd(variables, batch, jnp.float32(0.0))))
-                   for _ in range(3))
-        fps = iters / (best - dispatch)  # frames/sec (b=1, n_f=1 per step)
-        print(f"[bench] {precision}: raw {best * 1e3:.1f} ms / {iters} frames "
-              f"({iters / best:.2f} f/s uncorrected), dispatch-corrected "
-              f"{(best - dispatch) * 1e3:.1f} ms ({fps:.2f} f/s)", file=sys.stderr)
-        return fps
+        windows = [_timed(lambda: float(fwd(variables, batch, jnp.float32(0.0))))
+                   for _ in range(n_windows)]
+        fps_w = sorted(iters / (t - dispatch) for t in windows)
+        med = float(np.median(fps_w))
+        print(f"[bench] {precision}: {n_windows} windows x {iters} frames, "
+              f"dispatch-corrected median {med:.2f} f/s "
+              f"(min {fps_w[0]:.2f} / max {fps_w[-1]:.2f}, "
+              f"spread {100 * (fps_w[-1] - fps_w[0]) / med:.1f}%)", file=sys.stderr)
+        return med, fps_w
 
-    fps32 = measure("fp32")
+    n_windows = int(os.environ.get("BENCH_WINDOWS", 5))
+    fps32, fps32_w = measure("fp32", max(3, n_windows - 2))
     print(f"[bench] f32 companion (same methodology): {fps32:.2f} frames/s; "
           f"dispatch calibration {dispatch * 1e3:.2f} ms "
           f"({100.0 * dispatch / (iters / fps32 + dispatch):.1f}% of the f32 window)",
           file=sys.stderr)
-    fps = measure("bf16")
+    fps, fps_w = measure("bf16", n_windows)
     result = {
         "metric": "maggie_image_eval_576p_3inst_frames_per_sec_per_chip",
         "value": round(fps, 4),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / ROUND1_BASELINE_FPS, 4),
+        "windows": [round(x, 2) for x in fps_w],
     }
     # sidecar: record this real measurement for the stale fallback path —
     # but only for the headline condition (a BENCH_OVERRIDES A/B run measures a
@@ -199,6 +215,7 @@ def main():
             os.makedirs(os.path.dirname(SIDECAR), exist_ok=True)
             with open(SIDECAR, "w") as f:
                 json.dump({**result, "f32_companion": round(fps32, 4),
+                           "f32_windows": [round(x, 2) for x in fps32_w],
                            "dispatch_ms": round(dispatch * 1e3, 2), "iters": iters,
                            "measured_at": time.strftime("%Y-%m-%d %H:%M:%S")}, f)
         except OSError as e:

@@ -120,8 +120,13 @@ def _mux_video(frame_paths: list[str], out_base: str, fps: int = 8) -> str | Non
     if shutil.which("ffmpeg"):
         out = out_base + ".mp4"
         listing = out_base + "_frames.txt"
+        # ffmpeg concat quoting: single-quoted path with embedded quotes
+        # escaped as '\''; the demuxer ignores the duration of the LAST
+        # listed entry, so the final frame is repeated to honor its period.
+        q = lambda p: "'" + p.replace("'", r"'\''") + "'"  # noqa: E731
         with open(listing, "w") as f:
-            f.writelines(f"file '{p}'\nduration {1 / fps}\n" for p in frame_paths)
+            f.writelines(f"file {q(p)}\nduration {1 / fps}\n" for p in frame_paths)
+            f.write(f"file {q(frame_paths[-1])}\n")
         r = subprocess.run(["ffmpeg", "-y", "-f", "concat", "-safe", "0", "-i",
                             listing, "-pix_fmt", "yuv420p", out],
                            capture_output=True)

@@ -213,33 +213,47 @@ class _SubprocessPropagator:
             raise RuntimeError(self.RECIPE)
 
     def propagate(self, frames, first_mask):
+        import shutil
         import subprocess
         import sys
         import tempfile
         exchange = tempfile.mkdtemp(prefix=f"{self.NAME.lower()}_exchange_")
-        fdir = os.path.join(exchange, "frames")
-        os.makedirs(fdir)
-        names = [f"{t:05d}.png" for t in range(len(frames))]
-        for name, frame in zip(names, frames):
-            frame.convert("RGB").save(os.path.join(fdir, name))
-        Image.fromarray(first_mask.astype(np.uint8)).save(
-            os.path.join(exchange, "first_mask.png"))
-        worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              self.WORKER)
-        r = subprocess.run(
-            [self.python or sys.executable, worker, exchange, self.repo_dir,
-             self.weights],
-            capture_output=True, text=True)
-        if r.returncode != 0:
-            raise RuntimeError(
-                f"{self.WORKER} failed (rc={r.returncode}):\n{r.stderr[-2000:]}")
-        out = []
-        for name in names:
-            p = os.path.join(exchange, "masks", os.path.splitext(name)[0] + ".png")
-            if not os.path.exists(p):
-                raise RuntimeError(f"{self.WORKER} produced no mask for {name}")
-            out.append(np.array(Image.open(p).convert("L")))
-        return out
+        try:
+            fdir = os.path.join(exchange, "frames")
+            os.makedirs(fdir)
+            names = [f"{t:05d}.png" for t in range(len(frames))]
+            for name, frame in zip(names, frames):
+                frame.convert("RGB").save(os.path.join(fdir, name))
+            Image.fromarray(first_mask.astype(np.uint8)).save(
+                os.path.join(exchange, "first_mask.png"))
+            worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  self.WORKER)
+            # generous bound (model load + ~10 s/frame) so a hung external
+            # worker cannot block the demo forever
+            timeout = float(os.environ.get(f"{self.NAME}_TIMEOUT_S",
+                                           600 + 10 * len(frames)))
+            try:
+                r = subprocess.run(
+                    [self.python or sys.executable, worker, exchange,
+                     self.repo_dir, self.weights],
+                    capture_output=True, text=True, timeout=timeout)
+            except subprocess.TimeoutExpired as exc:
+                raise RuntimeError(
+                    f"{self.WORKER} exceeded {timeout:.0f}s on "
+                    f"{len(frames)} frames") from exc
+            if r.returncode != 0:
+                raise RuntimeError(
+                    f"{self.WORKER} failed (rc={r.returncode}):\n{r.stderr[-2000:]}")
+            out = []
+            for name in names:
+                p = os.path.join(exchange, "masks",
+                                 os.path.splitext(name)[0] + ".png")
+                if not os.path.exists(p):
+                    raise RuntimeError(f"{self.WORKER} produced no mask for {name}")
+                out.append(np.array(Image.open(p).convert("L")))
+            return out
+        finally:
+            shutil.rmtree(exchange, ignore_errors=True)
 
 
 class XMemPropagator(_SubprocessPropagator):

@@ -25,13 +25,25 @@ def parse_log(path: str) -> list[dict]:
     current: dict = {}
     in_metrics = 0
     in_test_section = 0  # >0: accept the next mask/split keys (2 max)
+    test_indent = 0      # indent of the arming ``test:`` line
     with open(path) as f:
         for line in f:
-            if re.search(r"(^|\n)\s+test:\s*$", line):
+            m = re.search(r"(^|\n)(\s+)test:\s*$", line)
+            if m:
                 if current.get("metrics"):
                     runs.append(current)
                 current = {"masks": "", "split": "", "metrics": {}}
                 in_test_section = 2
+                test_indent = len(m.group(2).expandtabs())
+                continue
+            # disarm on dedent to (or above) the ``test:`` level: a sibling
+            # section header (e.g. ``train:``) ends the test block even if a
+            # dumped section lacked one of the two keys (reference section
+            # gating, /root/reference/tools/extract_results.py:29-40)
+            if in_test_section > 0 and line.strip():
+                expanded = line.expandtabs()
+                if len(expanded) - len(expanded.lstrip()) <= test_indent:
+                    in_test_section = 0
             if in_test_section > 0:
                 m = re.search(r"mask_dir_name[=:]\s*(\S+)", line)
                 if m:
