@@ -144,6 +144,10 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 port, pid, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+# persistent cache: the flagship(reduced) fwd+bwd compile is multi-minute on
+# one CPU core; warm reruns take seconds (same dir as tests/conftest.py)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                            num_processes=2, process_id=pid)
 assert jax.process_count() == 2

@@ -51,9 +51,11 @@ def ratchet_root(tmp_path_factory):
     img_dir.mkdir(parents=True)
     for i in range(2):
         h, w = 96, 128
-        # PNG (lossless): a JPEG here would tie the golden to libjpeg's decoder
+        # .jpg: the eval glob is *.jpg (reference parity, data/him.py:85).
+        # JPEG decode is deterministic for a fixed libjpeg build, which is the
+        # ratchet's scope (same host across rounds).
         Image.fromarray(rs.randint(0, 255, (h, w, 3), np.uint8)).save(
-            img_dir / f"img{i}.png")
+            img_dir / f"img{i}.jpg", quality=95)
         adir = root / "alphas/natural" / f"img{i}"
         mdir = root / "masks/natural" / f"img{i}"
         adir.mkdir(parents=True)
@@ -98,6 +100,9 @@ def test_eval_metrics_match_golden(ratchet_root):
     assert set(results) >= {"MAD", "MAD_fg", "MAD_bg", "MAD_unk",
                             "MSE", "SAD", "Grad", "Conn"}
     assert all(np.isfinite(v) for v in results.values()), results
+    # a random-init model on blob GT cannot score 0 — 0 means the dataset
+    # glob matched nothing and every metric divided by count=0
+    assert results["MAD"] > 0 and results["SAD"] > 0, results
 
     if os.environ.get("RATCHET_REGEN") or not os.path.exists(GOLDEN):
         with open(GOLDEN, "w") as f:
