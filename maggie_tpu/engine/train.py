@@ -13,6 +13,7 @@ checkpointing, shape-tolerant pretrained load, resume). TPU-native differences:
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import time
@@ -229,6 +230,12 @@ def train(cfg, use_wandb: bool | None = None, is_sweep: bool = False):
                               {"train/lr": lr, "train/iter": it})
 
             batch_time.update(time.time() - end_time)
+            if batch_time.count == 1:
+                # exclude the first iteration (train-step compile / cache load)
+                # from the sustained averages; the logged avgs and the
+                # train_meters.json sidecar then measure steady-state only
+                batch_time.reset()
+                data_time.reset()
 
             if wandb is not None and it % cfg.train.vis_iter == 0 and pid == 0:
                 # vis only under wandb (reference gates the panel the same way,
@@ -278,5 +285,26 @@ def train(cfg, use_wandb: bool | None = None, is_sweep: bool = False):
             end_time = time.time()
     finally:
         infeed.close()
+
+    # sustained-throughput sidecar (first iteration excluded above): the
+    # reference prints batch_time/data_time averages in its logs
+    # (maggie/engine/train.py:192-218); persisting them makes the sustained
+    # train number a recorded artifact instead of a log-scrape
+    if pid == 0 and batch_time.count > 0:
+        from ..utils.memory import device_peak_memory_mb
+        meters = {
+            "iters_measured": batch_time.count,
+            "batch_size": cfg.train.batch_size,
+            "batch_time_avg_s": round(batch_time.avg, 4),
+            "data_time_avg_s": round(data_time.avg, 4),
+            "samples_per_sec_sustained": round(cfg.train.batch_size / batch_time.avg, 4),
+            "infeed_stall_frac": round(data_time.avg / batch_time.avg, 4),
+            "peak_mem_mb": device_peak_memory_mb(),
+        }
+        try:
+            with open(os.path.join(cfg.output_dir, "train_meters.json"), "w") as f:
+                json.dump(meters, f, indent=1)
+        except OSError as exc:
+            logger.warning(f"could not write train_meters.json: {exc}")
 
     return state

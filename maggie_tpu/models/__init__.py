@@ -15,6 +15,7 @@ def _enc_res_shortcut_embed_29(args: dict) -> nn.Module:
         num_mask=int(args.get("num_mask", 10)),
         num_embed=int(args.get("num_embed", 3)),
         lazy_os1_shortcut=bool(args.get("lazy_os1_shortcut", False)),
+        lazy_os2_shortcut=bool(args.get("lazy_os2_shortcut", False)),
         s2d_stem=bool(args.get("s2d_stem", False)),
         name="encoder_mod",
     )
@@ -24,6 +25,7 @@ def _enc_res_shortcut_29(args: dict) -> nn.Module:
     from .encoder import ResShortCutD
     return ResShortCutD(layers=(3, 4, 4, 2), num_mask=int(args.get("num_mask", 1)),
                         lazy_os1_shortcut=bool(args.get("lazy_os1_shortcut", False)),
+                        lazy_os2_shortcut=bool(args.get("lazy_os2_shortcut", False)),
                         s2d_stem=bool(args.get("s2d_stem", False)),
                         name="encoder_mod")
 

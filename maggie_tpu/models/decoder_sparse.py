@@ -187,7 +187,7 @@ class ResShortCutInstMattSpconvDec(nn.Module):
                 x_os1.reshape(B, n_i, H, W))
 
     def predict_details_block(self, os8_feat, roi_masks, queries, fea1, fea2, fea3,
-                              train: bool = False, sc0=None):
+                              train: bool = False, sc0=None, sc1=None):
         """Fixed-capacity block-sparse form of ``predict_details``.
 
         One block grid (64 os1 = 32 os2 = 16 os4 = 8 os8 pixels) is selected by
@@ -330,8 +330,23 @@ class ResShortCutInstMattSpconvDec(nn.Module):
         else:
             m2p = m2p2                    # keep the full [-2,34) window through
         z = self.l4_subm(z, m2p)
-        f2p = gather_patches(fea2, img_n, idx_by, idx_bx, 32,
-                             0 if train else 2, dup_bound=n_i) * m2p.astype(dt)
+        if sc1 is not None and not train:
+            # lazy os2 skip features (encoder.ResShortCutD.lazy_os2_shortcut):
+            # gather the post-conv2 stem activation (N, H/2, W/2, 32) with
+            # halo 4 and run the two shortcut_1 convs in patch domain — [2:38]
+            # is the exactly-valid interior after two 3x3 convs, bit-matching
+            # the dense branch (same construction as the os1 lazy path below).
+            sc1_fn, sc1_inp = sc1
+            p32 = gather_patches(sc1_inp, img_n, idx_by, idx_bx, 32, 4,
+                                 dup_bound=n_i)
+            ys = idx_by[:, None] * 32 + jnp.arange(-4, 36)[None, :]
+            xs = idx_bx[:, None] * 32 + jnp.arange(-4, 36)[None, :]
+            inner = (((ys >= 0) & (ys < H // 2))[:, :, None]
+                     & ((xs >= 0) & (xs < W // 2))[:, None, :])
+            f2p = sc1_fn(p32, inner[..., None])[:, 2:38, 2:38] * m2p.astype(dt)
+        else:
+            f2p = gather_patches(fea2, img_n, idx_by, idx_bx, 32,
+                                 0 if train else 2, dup_bound=n_i) * m2p.astype(dt)
         z = jnp.concatenate([f2p, z], axis=-1)
         z = self.l4s_bn(nn.relu(self.l4s_conv(z, m2p)), m2p, train,
                         stats_mask=(m2p * vmask if train else None))
@@ -494,6 +509,10 @@ class ResShortCutInstMattSpconvDec(nn.Module):
         if sc0 is not None and (self.sparse_mode != "block" or self.phase_rung):
             raise ValueError("lazy os1 shortcut requires sparse_mode='block' "
                              "without phase_rung")
+        sc1 = ((mid_fea["shortcut1_fn"], mid_fea["shortcut1_input"])
+               if fea2 is None else None)
+        if sc1 is not None and self.sparse_mode != "block":
+            raise ValueError("lazy os2 shortcut requires sparse_mode='block'")
 
         masks5 = masks.reshape(b, n_f, masks.shape[1], masks.shape[2], masks.shape[3])
         valid_masks = (jnp.sum(masks, axis=(2, 3), keepdims=True) > 0).astype(jnp.float32)
@@ -554,7 +573,7 @@ class ResShortCutInstMattSpconvDec(nn.Module):
 
         if self.sparse_mode == "block":
             x_os4_log, x_os1_log = self.predict_details_block(
-                feat8, unknown_os8, q, fea1, fea2, fea3, train, sc0=sc0)
+                feat8, unknown_os8, q, fea1, fea2, fea3, train, sc0=sc0, sc1=sc1)
         else:
             x_os4_log, x_os1_log = self.predict_details(
                 feat8, unknown_os8, q, fea1, fea2, fea3, train)

@@ -133,6 +133,8 @@ class ResShortCutInstMattSpconvTempDec(ResShortCutInstMattSpconvDec):
         h, w = image.shape[1], image.shape[2]
         sc0 = ((mid_fea["shortcut0_fn"], mid_fea["shortcut0_input"])
                if fea1 is None else None)
+        sc1 = ((mid_fea["shortcut1_fn"], mid_fea["shortcut1_input"])
+               if fea2 is None else None)
 
         masks5 = masks.reshape(b, n_f, masks.shape[1], masks.shape[2], masks.shape[3])
         valid_masks = (jnp.sum(masks, axis=(2, 3), keepdims=True) > 0).astype(jnp.float32)
@@ -197,7 +199,7 @@ class ResShortCutInstMattSpconvTempDec(ResShortCutInstMattSpconvDec):
         q = q.reshape(b * n_f, *queries.shape[1:])[:, :x_os8.shape[1]]
         if self.sparse_mode == "block":
             x_os4_log, x_os1_log = self.predict_details_block(
-                feat8, unknown_os8, q, fea1, fea2, fea3, train, sc0=sc0)
+                feat8, unknown_os8, q, fea1, fea2, fea3, train, sc0=sc0, sc1=sc1)
         else:
             x_os4_log, x_os1_log = self.predict_details(
                 feat8, unknown_os8, q, fea1, fea2, fea3, train)

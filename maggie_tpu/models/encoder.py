@@ -101,6 +101,7 @@ class ResShortCutD(nn.Module):
     num_mask: int = 1
     late_downsample: bool = False
     lazy_os1_shortcut: bool = False
+    lazy_os2_shortcut: bool = False
     s2d_stem: bool = False
 
     def setup(self):
@@ -151,7 +152,18 @@ class ResShortCutD(nn.Module):
             mid_fea["shortcut0_input"] = inp
         else:
             fea1 = self.shortcut_0(inp, train, update_sn)
-        fea2 = self.shortcut_1(x1, train, update_sn)
+        if self.lazy_os2_shortcut and not train:
+            # same move one octave up (round 5): the block ladder reads the os2
+            # skip features only at gathered 36x36 windows of active blocks —
+            # defer the two 288x512x32 shortcut_1 convs (~0.33 ms/frame of the
+            # round-4 eval trace) to patch domain in the decoder
+            fea2 = None
+            mid_fea["shortcut1_fn"] = (
+                lambda patches, inner_mask=None: self.shortcut_1(
+                    patches, train, update_sn, inner_mask))
+            mid_fea["shortcut1_input"] = x1
+        else:
+            fea2 = self.shortcut_1(x1, train, update_sn)
         fea3 = self.shortcut_2(x2, train, update_sn)
         fea4 = self.shortcut_3(x3, train, update_sn)
         fea5 = self.shortcut_4(x4, train, update_sn)
@@ -159,10 +171,12 @@ class ResShortCutD(nn.Module):
         # stage tags: with remat="selective" (engine/train_step.py) exactly these
         # boundary activations are stored; backward recomputes within stages
         from jax.ad_checkpoint import checkpoint_name
-        fea2, fea3, fea4, fea5 = (
-            checkpoint_name(f, "stage") for f in (fea2, fea3, fea4, fea5))
+        fea3, fea4, fea5 = (
+            checkpoint_name(f, "stage") for f in (fea3, fea4, fea5))
         if fea1 is not None:
             fea1 = checkpoint_name(fea1, "stage")
+        if fea2 is not None:
+            fea2 = checkpoint_name(fea2, "stage")
         mid_fea.update({
             "shortcut": (fea1, fea2, fea3, fea4, fea5),
             "image": inp[..., :3],
@@ -184,6 +198,7 @@ class ResMaskEmbedShortCutD(nn.Module):
     num_embed: int = 3
     late_downsample: bool = False
     lazy_os1_shortcut: bool = False
+    lazy_os2_shortcut: bool = False
     s2d_stem: bool = False
 
     def setup(self):
@@ -197,6 +212,7 @@ class ResMaskEmbedShortCutD(nn.Module):
         self.backbone = ResShortCutD(self.layers, num_mask=self.num_embed,
                                      late_downsample=self.late_downsample,
                                      lazy_os1_shortcut=self.lazy_os1_shortcut,
+                                     lazy_os2_shortcut=self.lazy_os2_shortcut,
                                      s2d_stem=self.s2d_stem)
 
     def __call__(self, x: jax.Array, train: bool = False, update_sn: bool = False):

@@ -48,6 +48,11 @@ class MaGGIe(nn.Module):
                 and "lazy_os1_shortcut" not in enc_args
                 and mc["encoder"] in ("res_shortcut_29", "res_shortcut_embed_29")):
             enc_args["lazy_os1_shortcut"] = True
+        # lazy_os2_shortcut (same move one octave up) is NOT auto-enabled: the
+        # same-session A/B measured it 31% SLOWER (183.0 -> 125.4 f/s bf16) —
+        # the 36x36 patch gather + patch-domain convs cost more than the dense
+        # 288x512x32 branch they replace (docs/DESIGN.md round-5 ledger). The
+        # flag remains available (encoder_args.lazy_os2_shortcut) and bit-exact.
         self.encoder = build_encoder(mc["encoder"], enc_args)
         self.aspp = ASPP(in_channels=mc["aspp"]["in_channels"],
                          out_channels=mc["aspp"]["out_channels"], name="aspp_mod")
@@ -218,13 +223,17 @@ class MaGGIe(nn.Module):
         embedding, mid_fea = self.encoder(inp, train=False, update_sn=False)
         embedding = self.aspp(embedding, train=False)
         fea1, fea2, fea3, fea4, fea5 = mid_fea["shortcut"]
-        feats = {"embedding": embedding, "fea2": fea2, "fea3": fea3,
+        feats = {"embedding": embedding, "fea3": fea3,
                  "fea4": fea4, "fea5": fea5, "image": mid_fea["image"],
                  "masks": masks}
         if fea1 is not None:
             feats["fea1"] = fea1
+        if fea2 is not None:
+            feats["fea2"] = fea2
         if "shortcut0_input" in mid_fea:
             feats["inp"] = mid_fea["shortcut0_input"]
+        if "shortcut1_input" in mid_fea:
+            feats["x1"] = mid_fea["shortcut1_input"]
         return feats
 
     def decode_window(self, feats: dict, prev_pred=None,
@@ -235,15 +244,20 @@ class MaGGIe(nn.Module):
         masks = feats["masks"]
         n_f, n_i, h, w = masks.shape
         b = 1
-        mid_fea = {"shortcut": (feats.get("fea1"), feats["fea2"], feats["fea3"],
-                                feats["fea4"], feats["fea5"]),
+        mid_fea = {"shortcut": (feats.get("fea1"), feats.get("fea2"),
+                                feats["fea3"], feats["fea4"], feats["fea5"]),
                    "image": feats["image"]}
+        backbone = getattr(self.encoder, "backbone", self.encoder)
         if "inp" in feats:
-            backbone = getattr(self.encoder, "backbone", self.encoder)
             mid_fea["shortcut0_fn"] = (
                 lambda patches, inner_mask=None: backbone.shortcut_0(
                     patches, False, False, inner_mask))
             mid_fea["shortcut0_input"] = feats["inp"]
+        if "x1" in feats:
+            mid_fea["shortcut1_fn"] = (
+                lambda patches, inner_mask=None: backbone.shortcut_1(
+                    patches, False, False, inner_mask))
+            mid_fea["shortcut1_input"] = feats["x1"]
         pred = self.decoder(feats["embedding"], mid_fea, b=b, n_f=n_f, n_i=n_i,
                             masks=masks, train=False, update_sn=False,
                             mem_feat=mem_feat, **kwargs)

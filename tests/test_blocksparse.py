@@ -88,6 +88,26 @@ def test_block_matches_oracle_at_full_capacity():
         assert d.mean() < 1e-5, (k, d.mean())
 
 
+def test_lazy_os2_shortcut_bit_exact():
+    """``encoder_args.lazy_os2_shortcut`` defers the two 288x512x32 shortcut_1
+    convs to gathered 36x36 patch windows in the ladder's rung 2. It is OFF by
+    default — the round-5 same-session A/B measured it 31% slower on v5e
+    (models/maggie.py) — but the transform must stay bit-exact: the gathered
+    window [2:38] after two same-pad 3x3 convs is the exactly-valid interior,
+    with the inner mask restoring dense zero-padding semantics at image borders."""
+    batch = _blob_batch()
+    outs = {}
+    for lazy in (False, True):
+        cfg = _cfg("block", cap_frac=1.0)
+        cfg.model.encoder_args.lazy_os2_shortcut = lazy
+        model = build_model(cfg.model)
+        if not outs:
+            variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                                   train=False)
+        outs[lazy] = model.apply(variables, batch, train=False)["refined_masks"]
+    assert float(jnp.max(jnp.abs(outs[True] - outs[False]))) == 0.0
+
+
 @pytest.mark.slow
 def test_block_matches_oracle_in_train_mode():
     """Train-mode block sparsity: loss, gradients and the mutated (global,

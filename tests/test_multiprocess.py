@@ -174,12 +174,8 @@ step_kw = dict(use_mask_atten=False, use_gt_guidance=True,
 gbatch_full = _make_batch(4, 1, 2, 64, 64, with_gt=True)
 init_b = jax.tree_util.tree_map(lambda x: x[:1], gbatch_full)
 
-# reference: the full global batch through one local device
-state1 = create_train_state(model, tx, init_b, jax.random.PRNGKey(0))
-state1, loss1 = step(state1, gbatch_full, jax.random.PRNGKey(1), **step_kw)
-
-# distributed: 4-device global mesh (2 per process), each process feeding
-# only ITS contiguous half of the global batch
+# distributed FIRST: 4-device global mesh (2 per process), each process
+# feeding only ITS contiguous half of the global batch
 local = jax.tree_util.tree_map(
     lambda x: np.asarray(x[pid * 2:(pid + 1) * 2]), gbatch_full)
 mesh = create_mesh(4)
@@ -187,7 +183,20 @@ state = create_train_state(model, tx, init_b, jax.random.PRNGKey(0))
 state = replicate_global(state, mesh)
 gbatch = shard_batch_global(local, mesh)
 assert gbatch["image"].shape[0] == 4
+
+# On one timeshared CPU core the two workers' multi-minute compiles can skew
+# by more than gloo's 30s context-init window, killing the first collective.
+# Compile locally (no collectives), then rendezvous at a coordination-service
+# barrier so both processes enter the sharded execution together.
+step.lower(state, gbatch, jax.random.PRNGKey(1), **step_kw).compile()
+from jax._src import distributed as _dist  # test-only: barrier w/o collectives
+_dist.global_state.client.wait_at_barrier("dist_step_compiled", 1800_000)
 state, loss = step(state, gbatch, jax.random.PRNGKey(1), **step_kw)
+loss = {k: np.asarray(v) for k, v in loss.items()}
+
+# reference: the full global batch through one local device
+state1 = create_train_state(model, tx, init_b, jax.random.PRNGKey(0))
+state1, loss1 = step(state1, gbatch_full, jax.random.PRNGKey(1), **step_kw)
 
 total = float(np.asarray(loss["total"]))
 total1 = float(np.asarray(loss1["total"]))
@@ -314,6 +323,12 @@ def test_two_process_train_step_real_maggie(tmp_path):
     for r in results:
         assert np.isfinite(r["loss"])
         np.testing.assert_allclose(r["loss"], r["loss1"], rtol=2e-4)
-        assert r["param_maxdiff"] < 1e-4, r
+        # post-AdamW params: at step 1 the update is ~lr * m/sqrt(v) ≈ lr * sign(g),
+        # so an f32 reduction-order difference (4-way psum vs single-device sum)
+        # in a near-zero gradient moves a param by up to ~2*lr (3e-4) — the same
+        # nondeterminism reference DDP has vs single-GPU. The tight invariants
+        # are the loss (forward, rtol 2e-4) and the psum'd BN stats below;
+        # measured param_maxdiff is ~2.7e-4 = 1.8*lr.
+        assert r["param_maxdiff"] < 4 * 1.5e-4, r
         assert r["bn_maxdiff"] < 1e-4, r
     np.testing.assert_allclose(results[0]["loss"], results[1]["loss"], rtol=0)

@@ -89,18 +89,27 @@ def train_entry():
 
     cfg = _image_model_cfg()
     cfg.model.precision = "bf16"
+    # the envelope condition (docs/DESIGN.md): bs6, selective remat, BLOCK
+    # ladder cap 0.5 — the dense oracle ladder at bs6/512^2 exceeds HBM
+    cfg.model.decoder_args.update(dict(sparse_mode="block", block_cap_frac=0.5))
     cfg.train.optimizer.name = "adamw"
     cfg.train.optimizer.lr = 1.5e-4
     model = build_model(cfg.model)
     tx, _ = build_optimizer(cfg)
     bs = int(os.environ.get("ROOFLINE_TRAIN_BS", 6))
-    batch = _make_batch(bs, 1, 2, 512, 512, with_gt=True)
+    batch = _make_batch(bs, 1, 10, 512, 512, with_gt=True)
     state = create_train_state(model, tx,
                                jax.tree_util.tree_map(lambda x: x[:1], batch),
                                jax.random.PRNGKey(0))
     step = make_train_step(model, tx, remat="selective")
-    kw = dict(use_mask_atten=False, use_gt_guidance=True,
+    # same static-flag combination as the bs6 envelope row (tools/bench_train.py)
+    kw = dict(use_mask_atten=False, use_gt_guidance=False,
               use_prm_weights=True, atten_loss_enabled=True)
+    # execute once first: the normal-dispatch compile seeds the persistent
+    # cache, so the .lower().compile() below is served from cache instead of
+    # the tunnel's chipless AOT helper (which 500s on graphs this size)
+    _, ld = step(state, batch, jax.random.PRNGKey(1), **kw)
+    float(ld["total"])
     compiled = step.lower(state, batch, jax.random.PRNGKey(1), **kw).compile()
     flops, byts = _cost(compiled)
     return _report(f"train_step_512p_bs{bs}_selective_bf16", flops, byts, PEAK_BF16)
