@@ -380,8 +380,13 @@ def eval_video(model, variables, val_loader, log_iter, val_error_dict,
     return batch_time.avg, data_time.avg
 
 
-def test(cfg, variables=None):
-    """Reference ``test`` (test.py:299-371). Returns the metric dict."""
+def test(cfg, variables=None, return_timing=False):
+    """Reference ``test`` (test.py:299-371). Returns the metric dict.
+
+    With ``return_timing=True`` returns ``(results, batch_time, data_time)``
+    — the averages the reference logs at ``test.py:155-156`` — so sustained
+    benchmarks get the split without scraping logs.
+    """
     import jax
 
     from ..models import build_model
@@ -439,4 +444,6 @@ def test(cfg, variables=None):
         logger.info("Metrics:\n" + metric_str)
         logger.info(",".join(str(v.average()) for v in val_error_dict.values()) + ",")
         logger.info(f"batch_time: {batch_time:.4f}, data_time: {data_time:.4f}")
+    if return_timing:
+        return results, batch_time, data_time
     return results

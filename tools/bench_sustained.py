@@ -19,28 +19,39 @@ import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import numpy as np  # noqa: E402
 
 
 def main():
-    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_images = int(args[0]) if args else 30
     metrics = ["MAD", "MSE", "SAD", "Grad", "Conn"]
-    for a in sys.argv[2:]:
+    for a in sys.argv[1:]:
         if a.startswith("--metrics"):
             metrics = a.split("=", 1)[1].split(",")
 
+    if "--cpu" in sys.argv:     # CPU smoke (shrink with SUSTAINED_HW="H W")
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    cache = ("/root/.cache/jax_comp_cache_cpu" if "--cpu" in sys.argv
+             else "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    root = os.environ.get("SUSTAINED_ROOT", "/tmp/him_sustained")
-    marker = os.path.join(root, f".n{n_images}_576")
+    # SUSTAINED_HW="H W" shrinks the synthetic sweep (CPU smoke); the real
+    # measurement condition is the default 576x1024 eval size
+    h, w = (os.environ.get("SUSTAINED_HW") or "576 1024").split()
+    root = os.environ.get("SUSTAINED_ROOT", f"/tmp/him_sustained_{h}")
+    marker = os.path.join(root, f".n{n_images}_{h}")
     if not os.path.exists(marker):
         subprocess.run([sys.executable, "tools/make_synthetic_him.py", root,
-                        "0", str(n_images), "576", "1024"], check=True,
-                       cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+                        "0", str(n_images), h, w], check=True,
+                       cwd=REPO)
         open(marker, "w").close()
 
     from __graft_entry__ import _image_model_cfg, _init_variables
@@ -56,7 +67,7 @@ def main():
     cfg.name = "bench_sustained"
     cfg.output_dir = "/tmp/bench_sustained_out"
     cfg.dataset.test.merge_from_other(dict(
-        name="HIM", root_dir=root, split="natural", short_size=576,
+        name="HIM", root_dir=root, split="natural", short_size=int(h),
         alpha_dir_name="alphas", mask_dir_name="masks", downscale_mask=True))
     cfg.test.merge_from_other(dict(
         batch_size=1, metrics=metrics, postprocessing=False,
@@ -73,18 +84,38 @@ def main():
     run_test_n_images(warm_cfg, variables, run_test, warm_root_n)
 
     t0 = time.time()
-    results = run_test(cfg, variables=variables)
+    results, batch_time, data_time = run_test(cfg, variables=variables,
+                                              return_timing=True)
     wall = time.time() - t0
     fps = n_images / wall
     print(f"[sustained] {n_images} images, metrics {metrics}: "
-          f"{wall:.1f} s wall -> {fps:.2f} frames/s end-to-end", file=sys.stderr)
-    print(json.dumps({
+          f"{wall:.1f} s wall -> {fps:.2f} frames/s end-to-end "
+          f"(batch_time {batch_time:.4f}s, data_time {data_time:.4f}s)",
+          file=sys.stderr)
+    repo = REPO
+    device_only = None
+    try:
+        with open(os.path.join(repo, "output/bench_last.json")) as f:
+            device_only = json.load(f).get("value")
+    except Exception:
+        pass
+    result = {
         "metric": "maggie_image_eval_576p_sustained_frames_per_sec",
         "value": round(fps, 3), "unit": "frames/sec",
         "n_images": n_images, "wall_s": round(wall, 2),
+        "batch_time_avg_s": round(batch_time, 4),
+        "data_time_avg_s": round(data_time, 4),
         "metrics": metrics,
         "MAD": float(results.get("MAD", np.nan)),
-    }))
+        "device_only_headline_fps": device_only,
+        "short_size": int(h),
+        "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    if not os.environ.get("SUSTAINED_HW"):   # smoke runs don't overwrite the artifact
+        os.makedirs(os.path.join(repo, "output"), exist_ok=True)
+        with open(os.path.join(repo, "output/bench_sustained.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    print(json.dumps(result))
 
 
 def run_test_n_images(cfg, variables, run_test, n):

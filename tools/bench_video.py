@@ -26,6 +26,12 @@ from maggie_tpu.models import build_model
 from maggie_tpu.utils.checkpoint import fold_spectral_norm
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def _clip_batch(h, w, n_i, n_f=3, seed=0):
     yy, xx = np.mgrid[0:h, 0:w]
     rs = np.random.RandomState(seed)
@@ -59,6 +65,19 @@ def main(n_i=3, precision="bf16", cap=0.5):
 
     iters = 10
 
+    # measured empty-dispatch calibration + median-of-windows, the same
+    # methodology as bench.py (round-5: no hardcoded 3 ms constant)
+    empty = jax.jit(lambda c: c + 1.0)
+    float(empty(jnp.float32(0.0)))
+    dispatch = min(_timed(lambda: float(empty(jnp.float32(0.0)))) for _ in range(5))
+
+    def _median_ms(fn, n_windows=5):
+        ws = sorted(_timed(fn) for _ in range(n_windows))
+        med = ws[len(ws) // 2]
+        return ((med - dispatch) / iters * 1000,
+                (ws[0] - dispatch) / iters * 1000,
+                (ws[-1] - dispatch) / iters * 1000)
+
     # ConvGRU memory is a plain tensor, which the eval engine (mirroring the
     # reference, test.py:252-254) does NOT carry across clips — only prev_pred.
     def run(v, b, prev, carry):
@@ -74,15 +93,11 @@ def main(n_i=3, precision="bf16", cap=0.5):
 
     f = jax.jit(run)
     float(f(variables, batch, prev0, jnp.float32(0.0)))
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(f(variables, batch, prev0, jnp.float32(0.0)))
-        best = min(best, time.perf_counter() - t0)
-    ms = (best - 0.003) / iters * 1000
+    ms, mn, mx = _median_ms(lambda: float(f(variables, batch, prev0, jnp.float32(0.0))))
     print(f"video streaming eval 576p {n_i}-inst clip3/overlap2 {precision} cap {cap}: "
           f"{ms:.1f} ms/clip-forward = {1000.0 / ms:.2f} new frames/sec/chip "
-          f"(monolithic window recompute)", flush=True)
+          f"(monolithic window recompute; window min {mn:.1f} / max {mx:.1f} ms, "
+          f"dispatch {dispatch * 1e3:.1f} ms)", flush=True)
 
     # the engine's default path (test.cache_features): the 2 overlap frames'
     # encoder+ASPP features roll over from the previous window; each step
@@ -105,15 +120,12 @@ def main(n_i=3, precision="bf16", cap=0.5):
         variables, batch)
     fc = jax.jit(run_cached)
     float(fc(variables, batch, feats0, prev0, jnp.float32(0.0)))
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(fc(variables, batch, feats0, prev0, jnp.float32(0.0)))
-        best = min(best, time.perf_counter() - t0)
-    ms = (best - 0.003) / iters * 1000
+    ms, mn, mx = _median_ms(
+        lambda: float(fc(variables, batch, feats0, prev0, jnp.float32(0.0))))
     print(f"video streaming eval 576p {n_i}-inst clip3/overlap2 {precision} cap {cap}: "
           f"{ms:.1f} ms/clip-forward = {1000.0 / ms:.2f} new frames/sec/chip "
-          f"(cached overlap features, engine default)", flush=True)
+          f"(cached overlap features, engine default; window min {mn:.1f} / "
+          f"max {mx:.1f} ms)", flush=True)
 
 
 if __name__ == "__main__":
