@@ -10,6 +10,11 @@ downscale. Semantics mirror ``data/transforms.py`` (reference
   cv2's uint8 path is 5-bit fixed-point, so device f32 results differ by up to
   ~1/255 per pixel (tested tolerance); alphas/trimaps for METRICS stay on the
   exact host path, so metric parity is untouched.
+- at ratio == 1 (source already at eval size) there is no resize and the
+  normalization goes through a 256-entry lookup table built host-side with the
+  host path's exact float64 arithmetic — the device model input is then
+  BIT-IDENTICAL to the host transform chain (uint8 has only 256 values per
+  channel, so the f64-rounded normalize is a table lookup).
 - mask resizes: cv2.INTER_NEAREST maps dst j -> floor(j * src/dst) computed in
   double (empirically pinned); the index maps are built host-side in float64
   exactly like cv2 and baked into the jit as constants — bit-exact.
@@ -27,6 +32,18 @@ import numpy as np
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _normalize_lut() -> np.ndarray:
+    """(256, 3) f32 table: ``Normalize``'s exact result for every uint8 value.
+
+    The host chain is ``(f.astype(f32) / 255.0 - mean_f32) / std_f32`` — all
+    float32 (NumPy keeps the array dtype against Python scalars)
+    (``data/transforms.py:Normalize``, reference ``transforms.py:772-810``) —
+    replicated here op-for-op so a table lookup is bit-identical to the host
+    per-pixel arithmetic."""
+    v = np.arange(256, dtype=np.float32)[:, None] / 255.0
+    return ((v - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
 
 
 def _cv2_nearest_map(src: int, dst: int) -> np.ndarray:
@@ -56,13 +73,22 @@ def _make_tail(h0: int, w0: int, n_i: int, short_size: int, divisor: int,
     y8 = _cv2_nearest_map(hp, hp // 8)
     x8 = _cv2_nearest_map(wp, wp // 8)
 
+    lut = _normalize_lut()
+
     @jax.jit
     def tail(frame_u8, masks_u8):
-        f = frame_u8.astype(jnp.float32)
         if (oh, ow) != (h0, w0):
+            f = frame_u8.astype(jnp.float32)
             f = resize_bilinear_nhwc(f[None], (oh, ow), align_corners=False)[0]
-        f = jnp.pad(f, ((0, ph), (0, pw), (0, 0)))
-        f = (f / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+            f = jnp.pad(f, ((0, ph), (0, pw), (0, 0)))
+            f = (f / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        else:
+            # no resize: pad the raw uint8 (host pads before Normalize, so the
+            # pad region is normalize(0) there too), then LUT — bit-identical
+            # to the host transform chain
+            fu = jnp.pad(frame_u8, ((0, ph), (0, pw), (0, 0)))
+            idx = fu.astype(jnp.int32) + 256 * jnp.arange(3, dtype=jnp.int32)
+            f = jnp.take(jnp.asarray(lut.T.reshape(-1)), idx)
 
         m = masks_u8[:, ys][:, :, xs]                      # (n_i, oh, ow)
         m = jnp.pad(m, ((0, 0), (0, ph), (0, pw)))

@@ -53,6 +53,27 @@ def test_device_tail_matches_host_chain(h0, w0, short):
     assert info[0]["ratio"] == ratio and tuple(info[1]["pad_size"]) == (ph, pw)
 
 
+def test_device_tail_bit_exact_at_ratio_1():
+    """At ratio == 1 (no resize) the normalize goes through the host-f64 LUT:
+    the device image must be BIT-IDENTICAL to the host transform chain,
+    including the x64 pad region (host pads uint8 zeros before Normalize)."""
+    from maggie_tpu.data import transforms as T
+
+    rs = np.random.RandomState(7)
+    h0, w0 = 96, 200                      # pads to 128x256: exercises the pad
+    frame = rs.randint(0, 256, (h0, w0, 3), np.uint8)
+    masks = (rs.rand(2, h0, w0) > 0.6).astype(np.uint8) * 255
+
+    import cv2
+    ph, pw = (64 - h0 % 64) % 64, (64 - w0 % 64) % 64
+    padded = cv2.copyMakeBorder(frame, 0, ph, 0, pw, cv2.BORDER_CONSTANT, value=0)
+    host = T.Normalize()({"frames": np.stack([padded]).astype(np.float32)})["frames"][0]
+
+    img_d, _, info = device_preprocess_eval(frame, masks, min(h0, w0), 64, True)
+    np.testing.assert_array_equal(np.asarray(img_d)[0], host)
+    assert info[0]["ratio"] == 1.0
+
+
 def test_him_dataset_device_mode(tmp_path):
     """HIMDataset(device_preprocess=True) must emit the same sample structure
     as the host path, with image/mask numerically close and identical
